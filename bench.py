@@ -1,0 +1,92 @@
+"""Benchmark: CIFAR-10 DDPM training throughput (imgs/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload anchor: configs/cifar10.json (batch 128, UNet hid=128, mult
+(1,2,2,2), 2 res blocks, attention at 16x16, T=1000, eps/fixed-large/mse) —
+the same training step the reference runs per iteration
+(ddpm_torch/utils/train.py:148-165), fused here into one jitted XLA program.
+
+``vs_baseline`` compares against a measured PyTorch-on-A100 per-chip figure
+for this exact workload. The reference publishes no speed numbers
+(SURVEY.md §6), so the baseline constant below is our own measured/estimated
+A100 number; until a co-located A100 measurement exists it is an estimate
+(~420 imgs/s for DDPM CIFAR-10 UNet fp32 batch128 with channels-last+TF32).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMGS_PER_SEC_PER_CHIP = 420.0  # PyTorch A100 estimate (see docstring)
+
+BATCH = 128
+STEPS = 20
+WARMUP = 3
+
+
+def main():
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.math import get_beta_schedule
+    from ddpm_tpu.models import UNet
+    from ddpm_tpu.parallel import make_mesh, shard_batch
+    from ddpm_tpu.train import TrainState, make_optimizer, make_train_step
+
+    n_chips = jax.device_count()
+    mesh = make_mesh()
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 1000)
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-large", "mse")
+    model = UNet(
+        in_channels=3,
+        hid_channels=128,
+        out_channels=3,
+        ch_multipliers=(1, 2, 2, 2),
+        num_res_blocks=2,
+        apply_attn=(False, True, False, False),
+        drop_rate=0.1,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+    t = jnp.zeros((BATCH,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    tx = make_optimizer(lr=2e-4, grad_norm=1.0, warmup=5000)
+    state = TrainState.create(params, tx, ema_decay=0.9999)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
+    batch = shard_batch(x, mesh)
+
+    key = jax.random.key(0)
+    for i in range(WARMUP):
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, loss = step(state, batch, jax.random.fold_in(key, WARMUP + i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_train_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec_per_chip, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Datasets: MNIST / CIFAR-10 / CelebA / CelebA-HQ, parsed natively.
+
+The reference leans on torchvision (ddpm_torch/datasets.py); this framework
+parses the raw archives directly (MNIST idx files, CIFAR-10 python pickles,
+CelebA image folder + list_eval_partition.txt, CelebA-HQ image folder) into
+numpy, so the input pipeline has no torch dependency and feeds batched NHWC
+uint8 straight to the device feed.
+
+Each dataset yields **uint8 NHWC** images at its training resolution; the
+loader applies the random flip + [-1,1] normalization per batch
+(data/transforms.py). A ``FakeData`` dataset provides synthetic images for
+benchmarks and tests.
+
+Split semantics match the reference:
+  MNIST 60k/10k (datasets.py:28-44); CIFAR-10 50k/10k with train-split
+  horizontal flips (47-65); CelebA train/valid/test/all via the official
+  partition file (72-153); CelebA-HQ 30k images, sorted then shuffled with
+  RandomState(123) to reproduce legacy ProGAN order (156-198).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct as _struct
+from typing import List, Optional
+
+import numpy as np
+
+from .registry import register_dataset
+from .transforms import crop_celeba, resize_batch
+
+__all__ = ["MNIST", "CIFAR10", "CelebA", "CelebA_HQ", "FakeData", "ROOT"]
+
+ROOT = os.path.expanduser("~/datasets")
+
+
+class ArrayDataset:
+    """In-memory uint8 NHWC dataset."""
+
+    random_flip: bool = False
+
+    def __init__(self, images: np.ndarray):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        return self.images[indices]
+
+
+class FileDataset:
+    """Lazily-decoded image-folder dataset (decode on batch fetch)."""
+
+    random_flip: bool = False
+
+    def __init__(self, files: List[str], decode):
+        self.files = files
+        self._decode = decode
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [self.files[i] for i in indices]
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return np.stack(list(ex.map(self._decode, paths)))
+
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = _struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        shape = _struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(shape)
+
+
+@register_dataset
+class MNIST(ArrayDataset):
+    resolution = (32, 32)  # reference resizes 28 -> 32 (datasets.py:33)
+    channels = 1
+    train_size = 60000
+    test_size = 10000
+
+    def __init__(self, root: str = ROOT, split: str = "train", **_):
+        base = os.path.join(root, "mnist", "MNIST", "raw")
+        if not os.path.isdir(base):
+            base = os.path.join(root, "mnist")
+        name = "train" if split in ("train", "all") else "t10k"
+        for suffix in ("-images-idx3-ubyte", "-images.idx3-ubyte"):
+            for ext in ("", ".gz"):
+                path = os.path.join(base, f"{name}{suffix}{ext}")
+                if os.path.exists(path):
+                    break
+            else:
+                continue
+            break
+        else:
+            raise FileNotFoundError(f"MNIST idx files not found under {base}")
+        imgs = _read_idx(path)[..., None]  # (N, 28, 28, 1)
+        super().__init__(resize_batch(imgs, 32))
+
+
+@register_dataset
+class CIFAR10(ArrayDataset):
+    resolution = (32, 32)
+    channels = 3
+    train_size = 50000
+    test_size = 10000
+    random_flip = True  # RandomHorizontalFlip on train (datasets.py:50-55)
+
+    def __init__(self, root: str = ROOT, split: str = "train", **_):
+        base = os.path.join(root, "cifar-10-batches-py")
+        if not os.path.isdir(base):
+            base = os.path.join(root, "cifar10", "cifar-10-batches-py")
+        names = (
+            [f"data_batch_{i}" for i in range(1, 6)]
+            if split in ("train", "all")
+            else ["test_batch"]
+        )
+        chunks = []
+        for n in names:
+            with open(os.path.join(base, n), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            chunks.append(np.asarray(d[b"data"], np.uint8))
+        data = np.concatenate(chunks).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        super().__init__(np.ascontiguousarray(data))
+
+
+def _decode_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+@register_dataset
+class CelebA(FileDataset):
+    resolution = (64, 64)
+    channels = 3
+    train_size = 162770
+    val_size = 19867
+    test_size = 19962
+    all_size = 202599
+    random_flip = True
+
+    _SPLIT_CODE = {"train": 0, "valid": 1, "val": 1, "test": 2}
+
+    def __init__(self, root: str = ROOT, split: str = "all", **_):
+        base = os.path.join(root, "celeba")
+        img_dir = os.path.join(base, "img_align_celeba")
+        part_file = os.path.join(base, "list_eval_partition.txt")
+        with open(part_file) as f:
+            rows = [line.split() for line in f if line.strip()]
+        if split == "all":
+            names = [r[0] for r in rows]
+        else:
+            code = self._SPLIT_CODE[split]
+            names = [r[0] for r in rows if int(r[1]) == code]
+        files = [os.path.join(img_dir, n) for n in names]
+
+        def decode(path):
+            return resize_batch(crop_celeba(_decode_image(path))[None], 64)[0]
+
+        super().__init__(files, decode)
+
+
+@register_dataset
+class CelebA_HQ(FileDataset):
+    resolution = (256, 256)
+    channels = 3
+    all_size = 30000
+    random_flip = True
+
+    def __init__(self, root: str = ROOT, split: str = "all", **_):
+        img_dir = os.path.join(root, "celeba_hq", "img_celeba_hq")
+        names = sorted(os.listdir(img_dir))
+        # legacy ProGAN order: deterministic shuffle with seed 123
+        # (ddpm_torch/datasets.py:166-171)
+        np.random.RandomState(123).shuffle(names)
+        files = [os.path.join(img_dir, n) for n in names]
+        super().__init__(files, _decode_image)
+
+
+@register_dataset
+class FakeData(ArrayDataset):
+    """Deterministic synthetic uint8 images for benchmarks/tests (not in the
+    reference, which has no test data story at all — SURVEY.md §4)."""
+
+    resolution = (32, 32)
+    channels = 3
+    train_size = 1024
+    test_size = 256
+    random_flip = True
+
+    def __init__(
+        self,
+        root: str = ROOT,
+        split: str = "train",
+        size: Optional[int] = None,
+        resolution: int = 32,
+        channels: int = 3,
+        seed: int = 0,
+        **_,
+    ):
+        n = size or (self.train_size if split in ("train", "all") else self.test_size)
+        rng = np.random.default_rng(seed)
+        imgs = rng.integers(0, 256, (n, resolution, resolution, channels), dtype=np.uint8)
+        super().__init__(np.asarray(imgs))

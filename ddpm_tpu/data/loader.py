@@ -1,0 +1,171 @@
+"""Sharded, seeded batch loader — the DistributedSampler equivalent.
+
+Reference semantics being reproduced (ddpm_torch/datasets.py:226-266):
+  * per-epoch seeded shuffle: DistributedSampler(shuffle=True, seed) uses
+    seed + epoch; here ``epoch_indices(epoch)`` permutes with
+    ``default_rng(seed + epoch)``;
+  * per-process strided shard: rank r takes indices [r::num_shards] after
+    padding to a multiple of the world size (DistributedSampler pads by
+    wrap-around); here the shard is the JAX process;
+  * global batch divided by world size (datasets.py:244-245): the loader
+    yields the per-host slice, which is then device_put with a batch-axis
+    NamedSharding over the local devices.
+  * drop_last: partial global batches are dropped for static shapes (the
+    reference's train path recommends this for cudnn autotune; on TPU it is
+    required to avoid recompiles).
+
+Transforms (random flip + [-1,1] normalize) run here, vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .registry import DATASET_DICT
+from .transforms import normalize_to_unit, random_hflip
+
+__all__ = ["ShardedLoader", "get_dataloader", "train_val_split"]
+
+
+def train_val_split(n_train: int, val_size: float, random_seed: Optional[int] = None):
+    """Seeded permutation split (reference: datasets.py:204-211)."""
+    rng = np.random.RandomState(random_seed) if random_seed is not None else np.random
+    inds = np.arange(n_train)
+    rng.shuffle(inds)
+    n_val = int(n_train * val_size)
+    return inds[n_val:], inds[:n_val]
+
+
+class ShardedLoader:
+    """Iterates (epoch-shuffled, host-sharded) float32 NHWC batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        indices: Optional[np.ndarray] = None,
+        raw: bool = False,
+    ):
+        if batch_size % num_shards != 0:
+            raise ValueError(f"batch {batch_size} not divisible by {num_shards} shards")
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.base_indices = (
+            np.asarray(indices) if indices is not None else np.arange(len(dataset))
+        )
+        self.raw = raw
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.base_indices)
+        per_shard = math.ceil(n / self.num_shards) if not self.drop_last else n // self.num_shards
+        fn = math.floor if self.drop_last else math.ceil
+        return max(int(fn(per_shard / self.local_batch)), 0 if self.drop_last else 1)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle (reference: sampler.set_epoch, train.py loop)."""
+        self.epoch = epoch
+
+    def _shard_indices(self) -> np.ndarray:
+        idx = self.base_indices
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(idx)
+        if self.num_shards > 1:
+            # pad by wrap-around so every shard sees the same count
+            pad = (-len(idx)) % self.num_shards
+            if pad and not self.drop_last:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.shard_index :: self.num_shards]
+        return idx
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = self._shard_indices()
+        rng = np.random.default_rng((self.seed + self.epoch) * 2654435761 % (2**31))
+        n_full = len(idx) // self.local_batch
+        end = n_full * self.local_batch if self.drop_last else len(idx)
+        do_flip = getattr(self.dataset, "random_flip", False)
+        # native fast path: in-memory uint8 arrays go through the C++
+        # gather+flip+normalize kernel (GIL-free, multithreaded)
+        from .. import native
+
+        use_native = (
+            not self.raw
+            and native.available()
+            and hasattr(self.dataset, "images")
+            and getattr(self.dataset.images, "flags", None) is not None
+            and self.dataset.images.flags.c_contiguous
+        )
+        for start in range(0, end, self.local_batch):
+            batch_idx = idx[start : start + self.local_batch]
+            if use_native:
+                flips = (
+                    (rng.random(len(batch_idx)) < 0.5).astype(np.uint8)
+                    if do_flip
+                    else None
+                )
+                yield native.gather_flip_normalize(
+                    self.dataset.images, batch_idx, flips
+                )
+                continue
+            batch = self.dataset.get_batch(batch_idx)
+            if self.raw:
+                yield batch
+                continue
+            if do_flip:
+                batch = random_hflip(batch, rng)
+            yield normalize_to_unit(batch)
+
+
+def get_dataloader(
+    dataset: str,
+    batch_size: int,
+    split: str,
+    val_size: float = 0.0,
+    random_seed: Optional[int] = None,
+    root: Optional[str] = None,
+    drop_last: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    raw: bool = False,
+    **kwargs,
+):
+    """Factory mirroring the reference's get_dataloader contract
+    (datasets.py:226-266) — returns (loader, loader); the loader doubles as
+    its own sampler (set_epoch lives on it)."""
+    from .datasets import ROOT
+
+    cls = DATASET_DICT[dataset]
+    ds_split = "all" if split == "all" else ("train" if split in ("train", "val") else "test")
+    ds = cls(root=root or ROOT, split=ds_split, **kwargs)
+    indices = None
+    if split in ("train", "val") and val_size > 0:
+        train_inds, val_inds = train_val_split(len(ds), val_size, random_seed)
+        indices = train_inds if split == "train" else val_inds
+    shuffle = split in ("train", "all") and not raw
+    loader = ShardedLoader(
+        ds,
+        batch_size,
+        shuffle=shuffle,
+        seed=random_seed or 0,
+        drop_last=drop_last,
+        num_shards=num_shards,
+        shard_index=shard_index,
+        indices=indices,
+        raw=raw,
+    )
+    return loader, loader

@@ -1,0 +1,111 @@
+"""Metrics: FID (streaming Inception statistics + Frechet distance),
+improved Precision/Recall, toy histogram-KLD, and the in-loop Evaluator.
+
+Reference: ddpm_torch/metrics/ (inception.py, fid_score.py,
+precision_recall.py, __init__.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from .fid import StreamingStats, calc_fd, compute_dataset_stats, get_precomputed
+from .inception import FIDInceptionV3, make_feature_extractor
+from .pr import Manifold, ManifoldBuilder, calc_pr, compute_distance
+from .toy import ToyEvaluator
+from .vgg import VGG16Features, make_vgg_extractor
+
+__all__ = [
+    "Evaluator",
+    "StreamingStats",
+    "calc_fd",
+    "get_precomputed",
+    "compute_dataset_stats",
+    "FIDInceptionV3",
+    "make_feature_extractor",
+    "Manifold",
+    "ManifoldBuilder",
+    "calc_pr",
+    "compute_distance",
+    "ToyEvaluator",
+    "VGG16Features",
+    "make_vgg_extractor",
+]
+
+INCEPTION_WEIGHTS = os.path.join(
+    os.path.expanduser("~/.cache/ddpm_tpu"), "fid_inception_v3.npz"
+)
+
+
+def load_inception_variables(path: str = INCEPTION_WEIGHTS):
+    """Load converted FID-Inception weights (scripts/convert_inception.py)."""
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(path)
+    flat = {tuple(k.split("/")): data[k] for k in data.files}
+    return unflatten_dict(flat)
+
+
+class Evaluator:
+    """In-loop FID evaluator (reference: ddpm_torch/metrics/__init__.py:18-53).
+
+    ``eval(sample_fn)`` generates ``total_size`` images batchwise (sample_fn
+    returns float [-1,1] NHWC), streams them through the jitted Inception
+    extractor, and returns {"fid": ...} against the precomputed target stats.
+    """
+
+    def __init__(
+        self,
+        dataset: str,
+        total_size: int = 50000,
+        batch_size: int = 256,
+        root: Optional[str] = None,
+        precomputed_dir: str = "precomputed",
+        inception_weights: str = INCEPTION_WEIGHTS,
+    ):
+        import jax
+
+        self.dataset = dataset
+        self.total_size = total_size
+        self.batch_size = batch_size
+        variables = load_inception_variables(inception_weights)
+        self.extract = make_feature_extractor(variables)
+        try:
+            self.target_mean, self.target_var = get_precomputed(dataset, precomputed_dir)
+        except FileNotFoundError:
+            # fall back to computing target stats from the raw dataset
+            # (reference eval.py:87-94)
+            from ..data import get_dataloader
+
+            loader, _ = get_dataloader(
+                dataset, batch_size, split="all" if dataset.startswith("celeba") else "train",
+                root=root, raw=True, drop_last=False,
+            )
+            self.target_mean, self.target_var = compute_dataset_stats(
+                iter(loader),
+                self.extract,
+                save_path=os.path.join(precomputed_dir, f"fid_stats_{dataset}.npz"),
+            )
+        self.key = jax.random.key(571)
+
+    def eval(self, sample_fn: Callable) -> dict:
+        import jax
+
+        stats = StreamingStats()
+        remaining = self.total_size
+        i = 0
+        while remaining > 0:
+            n = min(self.batch_size, remaining)
+            self.key, sub = jax.random.split(self.key)
+            x = np.asarray(sample_fn(n, sub))  # float [-1, 1] NHWC
+            x01 = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
+            if x01.shape[-1] == 1:
+                x01 = np.repeat(x01, 3, axis=-1)
+            stats.update(np.asarray(self.extract(x01[:n])))
+            remaining -= n
+            i += 1
+        gen_mean, gen_var = stats.get_statistics()
+        return {"fid": calc_fd(gen_mean, gen_var, self.target_mean, self.target_var)}

@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    init_distributed,
+    local_batch_slice,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "local_batch_slice",
+    "init_distributed",
+]

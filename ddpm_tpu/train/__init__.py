@@ -1,0 +1,15 @@
+from .checkpoint import latest_epoch, load_checkpoint, save_checkpoint
+from .state import TrainState, make_optimizer, warmup_schedule
+from .step import draw_input, make_sample_fn, make_train_step
+
+__all__ = [
+    "TrainState",
+    "make_optimizer",
+    "warmup_schedule",
+    "make_train_step",
+    "make_sample_fn",
+    "draw_input",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_epoch",
+]

@@ -1,0 +1,81 @@
+"""Checkpoint save/load with the reference's roster semantics.
+
+The reference stores a single ``.pt`` dict of state_dicts for the trainee
+roster {model, optimizer, ema, scheduler} plus extra info, with the epoch
+number rewritten into the filename (ddpm_torch/utils/train.py:236-276).
+
+Here the entire :class:`~ddpm_tpu.train.state.TrainState` pytree (params /
+opt_state / EMA / step — the scheduler is a pure function of ``step`` so it
+needs no state) is saved via **Orbax** into ``chkpt_dir/<epoch>/`` with the
+same epoch-keyed naming, plus a JSON sidecar of the extra info (epoch, loss,
+metrics). Leader-only writes under multi-host come from Orbax itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_epoch"]
+
+
+def _checkpointer() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def _state_to_tree(state) -> dict:
+    """Array-only pytree of the train state (static fields excluded)."""
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
+
+
+def save_checkpoint(state, chkpt_dir: str, epoch: int, extra: Optional[dict] = None) -> str:
+    """Write state under ``chkpt_dir/<epoch>``; returns the path."""
+    path = os.path.join(os.path.abspath(chkpt_dir), str(epoch))
+    _checkpointer().save(path, _state_to_tree(state), force=True)
+    meta = {"epoch": epoch, **(extra or {})}
+    with open(os.path.join(path, "info.json"), "w") as f:
+        json.dump(meta, f, default=float)
+    return path
+
+
+def latest_epoch(chkpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(chkpt_dir):
+        return None
+    epochs = [int(d) for d in os.listdir(chkpt_dir) if d.isdigit()]
+    return max(epochs) if epochs else None
+
+
+def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore into the (template) ``state``; returns (state, start_epoch).
+
+    Mirrors Trainer.load_checkpoint's resume contract
+    (ddpm_torch/utils/train.py:249-262): the restored ``epoch`` becomes the
+    epoch to resume *from*.
+    """
+    if epoch is None:
+        epoch = latest_epoch(chkpt_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {chkpt_dir}")
+    path = os.path.join(os.path.abspath(chkpt_dir), str(epoch))
+    template = _state_to_tree(state)
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    restored = _checkpointer().restore(path, item=abstract)
+    new_state = state.replace(
+        step=np.asarray(restored["step"]),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        ema_params=restored.get("ema_params", state.ema_params),
+    )
+    return new_state, epoch

@@ -1,0 +1,120 @@
+"""Jitted training and sampling steps.
+
+The reference's per-step host orchestration (t/noise draw on device via a
+torch.Generator, loss, backward, DDP allreduce, clip, Adam, LR sched, EMA —
+ddpm_torch/utils/train.py:134-170) fuses here into ONE jitted function:
+``train_step(state, x, key) -> (state, loss)``. Under a data-parallel mesh
+the batch is sharded on its leading axis and parameters are replicated; XLA
+inserts the gradient all-reduce over ICI automatically, so the returned
+``loss`` is already the global mean (the reference needs an explicit
+dist.reduce for that, utils/train.py:167-169).
+
+All heavy buffers (state, batch) are donated — the update is in-place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.gaussian import GaussianDiffusion
+from .state import TrainState
+
+__all__ = ["make_train_step", "make_sample_fn", "draw_input"]
+
+
+def draw_input(key: jax.Array, x_shape, timesteps: int):
+    """Per-example t ~ U[0, T) and eps ~ N(0, I) (utils/train.py:134-141)."""
+    t_key, n_key = jax.random.split(key)
+    t = jax.random.randint(t_key, (x_shape[0],), 0, timesteps, dtype=jnp.int32)
+    noise = jax.random.normal(n_key, x_shape, jnp.float32)
+    return t, noise
+
+
+def make_train_step(
+    apply_fn: Callable,
+    diffusion: GaussianDiffusion,
+    has_dropout: bool = False,
+    mesh=None,
+    batch_sharding=None,
+    state_sharding=None,
+):
+    """Build the fused train step.
+
+    ``apply_fn(variables, x, t, train=..., rngs=...)`` is the flax apply;
+    ``diffusion`` provides q_sample + the loss. When ``mesh`` is given the
+    step is jitted with explicit shardings (batch split over the data axis,
+    state replicated) so it runs identically on 1 chip or a pod slice.
+    """
+
+    def loss_fn(params, x_0, t, noise, dropout_key):
+        rngs = {"dropout": dropout_key} if has_dropout else None
+
+        def denoise(x_t, tt):
+            return apply_fn({"params": params}, x_t, tt, train=True, rngs=rngs)
+
+        losses = diffusion.train_losses(denoise, x_0, t, noise)
+        return losses.mean()
+
+    def step(state: TrainState, x_0: jnp.ndarray, key: jax.Array):
+        input_key, dropout_key = jax.random.split(key)
+        t, noise = draw_input(input_key, x_0.shape, diffusion.timesteps)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, x_0, t, noise, dropout_key
+        )
+        if state.num_accum > 1:
+            state = state.accumulate_gradients(grads)
+        else:
+            state = state.apply_gradients(grads)
+        return state, loss
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = batch_sharding or NamedSharding(mesh, P("data"))
+        state_sharding = state_sharding or NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(state_sharding, batch_sharding, state_sharding),
+            out_shardings=(state_sharding, state_sharding),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sample_fn(
+    apply_fn: Callable,
+    diffusion: GaussianDiffusion,
+    shape,
+    use_ema: bool = True,
+    clip_denoised: bool = True,
+    mesh=None,
+):
+    """Build the jitted full-chain sampler.
+
+    Replaces Trainer.sample_fn (utils/train.py:172-189): samples under the
+    EMA weights and — under a mesh — runs with the batch axis sharded, so the
+    reference's explicit all_gather of per-rank shards becomes XLA-managed
+    layout. ``shape`` is the GLOBAL batch shape.
+    """
+
+    def sample(state: TrainState, key: jax.Array):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+
+        def denoise(x_t, t):
+            return apply_fn({"params": params}, x_t, t, train=False)
+
+        return diffusion.p_sample(denoise, shape, key, clip_denoised=clip_denoised)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.jit(
+            sample,
+            in_shardings=(NamedSharding(mesh, P()), None),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+    return jax.jit(sample)

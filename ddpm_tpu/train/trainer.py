@@ -1,0 +1,170 @@
+"""Trainer: the epoch-loop orchestrator.
+
+Covers the responsibilities of the reference Trainer
+(ddpm_torch/utils/train.py:61-234) with a TPU-native execution model:
+
+  * the per-step work (input draw, loss, grads + ICI psum, clip, Adam, LR
+    warmup, EMA) is ONE jitted `train_step` (train/step.py) instead of seven
+    host-orchestrated torch calls — there is no DDP wrapper, no explicit
+    loss reduce, and no barrier (SPMD programs are implicitly synchronized);
+  * sampling for image grids runs the lax.scan sampler under the EMA weights,
+    batch axis sharded over the mesh (replaces the all_gather assembly,
+    utils/train.py:183-187);
+  * checkpoints are Orbax pytrees with epoch-keyed directories
+    (train/checkpoint.py), resume included;
+  * `dry_run` stops after the first optimizer update (train.py:282 semantics).
+
+Host-device overlap: batches are staged with `jax.device_put` onto the mesh
+while the previous step is still executing (dispatch is async), so input feed
+overlaps compute without a DataLoader worker pool.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..utils import RunningStatistics
+from ..utils.images import save_image_grid
+from .checkpoint import load_checkpoint, save_checkpoint
+from .state import TrainState
+from .step import make_sample_fn, make_train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        diffusion,
+        state: TrainState,
+        trainloader,
+        epochs: int,
+        mesh=None,
+        sample_size: int = 64,
+        sample_shape=None,
+        image_intv: int = 1,
+        chkpt_intv: int = 5,
+        seed: int = 8191,
+        dry_run: bool = False,
+        use_ema_for_sampling: bool = True,
+        logger: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.state = state
+        self.trainloader = trainloader
+        self.epochs = epochs
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.sample_size = sample_size
+        self.sample_shape = sample_shape
+        self.image_intv = image_intv
+        self.chkpt_intv = chkpt_intv
+        self.dry_run = dry_run
+        self.logger = logger
+        self.start_epoch = 0
+        self.key = jax.random.key(seed)
+
+        has_dropout = getattr(model, "drop_rate", 0.0) > 0.0
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._state_sharding = replicated_sharding(self.mesh)
+        self.state = jax.device_put(self.state, self._state_sharding)
+        self.train_step = make_train_step(
+            model.apply, diffusion, has_dropout=has_dropout, mesh=self.mesh
+        )
+        self.sample_fn = None
+        if sample_shape is not None:
+            self.sample_fn = make_sample_fn(
+                model.apply,
+                diffusion,
+                (sample_size, *sample_shape),
+                use_ema=use_ema_for_sampling,
+                mesh=self.mesh,
+            )
+
+        self.stats = RunningStatistics(loss=None)
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def is_leader(self) -> bool:
+        return jax.process_index() == 0
+
+    def sample(self, key=None):
+        assert self.sample_fn is not None
+        key = key if key is not None else jax.random.key(131071)
+        return np.asarray(self.sample_fn(self.state, key))
+
+    def load_checkpoint(self, chkpt_dir: str, epoch: Optional[int] = None):
+        self.state, self.start_epoch = load_checkpoint(self.state, chkpt_dir, epoch)
+        self.state = jax.device_put(self.state, self._state_sharding)
+        self.logger(f"resumed from epoch {self.start_epoch} (step {int(self.state.step)})")
+
+    def train(
+        self,
+        evaluator=None,
+        chkpt_dir: Optional[str] = None,
+        image_dir: Optional[str] = None,
+    ):
+        for d in (chkpt_dir, image_dir):
+            if d and self.is_leader:
+                os.makedirs(d, exist_ok=True)
+
+        global_steps = int(self.state.step)
+        for epoch in range(self.start_epoch, self.epochs):
+            self.stats.reset()
+            self.trainloader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []  # async device scalars; synced once per epoch
+            n_examples = 0
+            for batch in self.trainloader:
+                batch = jax.device_put(batch, self._batch_sharding)
+                self.key, sub = jax.random.split(self.key)
+                self.state, loss = self.train_step(self.state, batch, sub)
+                losses.append(loss)
+                n_examples += len(batch)
+                global_steps += 1
+                if self.dry_run and int(self.state.step) >= 1:
+                    self.logger("dry run: stopping after first optimizer update")
+                    return
+            epoch_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+            dt = time.time() - t0
+            self.stats.update(n_examples, loss=epoch_loss)
+            mean = {"loss": epoch_loss}
+            imgs_per_sec = n_examples / max(dt, 1e-9)
+            self.logger(
+                f"epoch {epoch + 1}/{self.epochs} loss={mean['loss']:.4f} "
+                f"({imgs_per_sec:.1f} imgs/s)"
+            )
+
+            if image_dir and self.sample_fn and (epoch + 1) % self.image_intv == 0:
+                self.key, sub = jax.random.split(self.key)
+                x = self.sample(sub)
+                if self.is_leader:
+                    save_image_grid(os.path.join(image_dir, f"{epoch + 1}.png"), x)
+
+            if chkpt_dir and (epoch + 1) % self.chkpt_intv == 0:
+                extra = {"loss": mean["loss"]}
+                if evaluator is not None:
+                    eval_results = evaluator.eval(self.sample_fn_for_eval())
+                    extra.update(eval_results)
+                    self.logger(f"eval @ epoch {epoch + 1}: {eval_results}")
+                if self.is_leader:
+                    save_checkpoint(self.state, chkpt_dir, epoch + 1, extra)
+                    self.logger(f"checkpoint saved @ epoch {epoch + 1}")
+
+    def sample_fn_for_eval(self):
+        """Adapter handing the in-loop evaluator a `fn(sample_size, key)`."""
+
+        def fn(n: int, key):
+            # evaluator batches are capped at sample_size for static shapes
+            assert self.sample_fn is not None
+            return np.asarray(self.sample_fn(self.state, key))[:n]
+
+        return fn

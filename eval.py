@@ -1,0 +1,133 @@
+"""Offline evaluation CLI: FID + improved Precision/Recall on a folder of
+generated samples (reference: eval.py).
+
+``--sample-folder`` points at PNGs written by generate.py; target statistics
+come from precomputed npz files (or are computed from the raw dataset and
+cached, the reference's fallback at eval.py:87-94). The true-data PR
+manifold is cached to ``precomputed/pr_manifold_{dataset}.npz``
+(reference eval.py:114-122 caches a .pt).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def iter_image_folder(folder: str, batch_size: int, total: int):
+    """Yield uint8 NHWC batches from a folder of images (subsampled to
+    ``total`` — reference eval.py:56-79)."""
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(folder, f)
+        for f in os.listdir(folder)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+    )
+    if total and len(files) > total:
+        files = [files[i] for i in np.random.RandomState(1234).choice(len(files), total, replace=False)]
+    batch = []
+    for path in files:
+        with Image.open(path) as im:
+            batch.append(np.asarray(im.convert("RGB"), np.uint8))
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        yield np.stack(batch)
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--root", default="~/datasets", type=str)
+    parser.add_argument("--dataset", default="cifar10")
+    parser.add_argument("--sample-folder", required=True, type=str)
+    parser.add_argument("--batch-size", default=256, type=int)
+    parser.add_argument("--eval-total-size", default=50000, type=int)
+    parser.add_argument("--metrics", nargs="+", default=["fid", "pr"])
+    parser.add_argument("--precomputed-dir", default="precomputed", type=str)
+    parser.add_argument("--nhood-size", default=3, type=int)
+    parser.add_argument("--row-batch-size", default=10000, type=int)
+    parser.add_argument("--col-batch-size", default=10000, type=int)
+    args = parser.parse_args()
+
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.metrics import (
+        INCEPTION_WEIGHTS,
+        ManifoldBuilder,
+        StreamingStats,
+        calc_fd,
+        calc_pr,
+        compute_dataset_stats,
+        get_precomputed,
+        load_inception_variables,
+        make_feature_extractor,
+    )
+
+    root = os.path.expanduser(args.root)
+    results = {}
+    extract = make_feature_extractor(load_inception_variables(INCEPTION_WEIGHTS))
+
+    def raw_data_batches():
+        loader, _ = get_dataloader(
+            args.dataset,
+            args.batch_size,
+            split="all" if args.dataset.startswith("celeba") else "train",
+            root=root,
+            raw=True,
+            drop_last=False,
+        )
+        return iter(loader)
+
+    if "fid" in args.metrics:
+        try:
+            mu_t, sig_t = get_precomputed(args.dataset, args.precomputed_dir)
+        except FileNotFoundError:
+            mu_t, sig_t = compute_dataset_stats(
+                raw_data_batches(),
+                extract,
+                save_path=os.path.join(args.precomputed_dir, f"fid_stats_{args.dataset}.npz"),
+            )
+        stats = StreamingStats()
+        for batch in iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size):
+            stats.update(np.asarray(extract(batch.astype(np.float32) / 255.0)))
+        mu_g, sig_g = stats.get_statistics()
+        results["fid"] = calc_fd(mu_g, sig_g, mu_t, sig_t)
+        print(f"fid: {results['fid']:.4f}", flush=True)
+
+    if "pr" in args.metrics:
+        manifold_path = os.path.join(args.precomputed_dir, f"pr_manifold_{args.dataset}.npz")
+        kw = dict(
+            nhood_size=args.nhood_size,
+            row_batch_size=args.row_batch_size,
+            col_batch_size=args.col_batch_size,
+        )
+        if os.path.exists(manifold_path):
+            true_manifold = ManifoldBuilder.load(manifold_path)
+        else:
+            builder = ManifoldBuilder(
+                data=raw_data_batches(), extractor=extract,
+                max_size=args.eval_total_size, **kw,
+            )
+            builder.save(manifold_path)
+            true_manifold = builder.manifold
+        gen_manifold = ManifoldBuilder(
+            data=iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size),
+            extractor=extract,
+            max_size=args.eval_total_size,
+            **kw,
+        ).manifold
+        precision, recall = calc_pr(
+            gen_manifold, true_manifold, args.row_batch_size, args.col_batch_size
+        )
+        results.update(precision=precision, recall=recall)
+        print(f"precision: {precision:.4f} recall: {recall:.4f}", flush=True)
+
+    with open("metrics.txt", "a") as f:
+        f.write(f"{args.dataset} {args.sample_folder}: {results}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Bulk generation CLI (reference: generate.py).
+
+Loads a trained checkpoint and generates ``--total-size`` images as PNGs via
+the on-device lax.scan sampler (DDPM or eta-parameterized DDIM). Where the
+reference forks one process per GPU (generate.py:168-172), this is one SPMD
+program: the batch axis is sharded over the TPU mesh, and PNG encoding runs
+in a thread pool overlapping the next device batch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from argparse import ArgumentParser
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--config-path", type=str)
+    parser.add_argument("--dataset", default="cifar10")
+    parser.add_argument("--batch-size", default=128, type=int)
+    parser.add_argument("--total-size", default=50000, type=int)
+    parser.add_argument("--config-dir", default=None, type=str)
+    parser.add_argument("--chkpt-dir", default="./chkpts", type=str)
+    parser.add_argument("--chkpt-path", default="", type=str)
+    parser.add_argument("--save-dir", default="./images/eval", type=str)
+    parser.add_argument("--use-ema", action="store_true")
+    parser.add_argument("--use-ddim", action="store_true")
+    parser.add_argument("--eta", default=0.0, type=float)
+    parser.add_argument("--skip-schedule", default="linear", type=str)
+    parser.add_argument("--subseq-size", default=50, type=int)
+    parser.add_argument("--suffix", default="", type=str)
+    parser.add_argument("--max-workers", default=8, type=int)
+    parser.add_argument("--seed", default=1234, type=int)
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args()
+
+    from ddpm_tpu import (
+        DATASET_INFO,
+        GaussianDiffusion,
+        UNet,
+        ddim_from_betas,
+        get_beta_schedule,
+        get_selection_schedule,
+        load_config,
+    )
+    from ddpm_tpu.data.transforms import to_uint8
+    from ddpm_tpu.parallel import make_mesh
+    from ddpm_tpu.train import TrainState, load_checkpoint, make_optimizer, make_sample_fn
+
+    config_path = args.config_path or (
+        os.path.join(args.config_dir, f"{args.dataset}.json") if args.config_dir else args.dataset
+    )
+    config = load_config(config_path)
+    dataset = config.get("dataset", args.dataset)
+    diff_cfg = config.get("diffusion") or {}
+    model_cfg = config.get("model") or {}
+
+    timesteps = diff_cfg.get("timesteps", 1000)
+    betas = get_beta_schedule(
+        diff_cfg.get("beta_schedule", "linear"),
+        diff_cfg.get("beta_start", 1e-4),
+        diff_cfg.get("beta_end", 0.02),
+        timesteps,
+    )
+    mean_type = diff_cfg.get("model_mean_type", "eps")
+    var_type = diff_cfg.get("model_var_type", "fixed-large")
+    if args.use_ddim:
+        subsequence = get_selection_schedule(args.skip_schedule, args.subseq_size, timesteps)
+        diffusion = ddim_from_betas(
+            betas, mean_type, var_type, diff_cfg.get("loss_type", "mse"),
+            eta=args.eta, subsequence=subsequence,
+        )
+    else:
+        diffusion = GaussianDiffusion.create(
+            betas, mean_type, var_type, diff_cfg.get("loss_type", "mse")
+        )
+
+    # fail fast on a missing checkpoint BEFORE the (expensive) model build
+    from ddpm_tpu.train.checkpoint import latest_epoch
+
+    chkpt = args.chkpt_path or os.path.join(args.chkpt_dir, f"ddpm_{dataset}")
+    if latest_epoch(chkpt) is None:
+        raise SystemExit(f"error: no checkpoint found under {chkpt!r}")
+
+    info = DATASET_INFO[dataset]
+    res, channels = info["resolution"][0], info["channels"]
+    model = UNet(
+        in_channels=model_cfg.get("in_channels", channels),
+        hid_channels=model_cfg.get("hid_channels", 128),
+        out_channels=model_cfg.get("out_channels", channels),
+        ch_multipliers=tuple(model_cfg.get("ch_multipliers", (1, 2, 2, 2))),
+        num_res_blocks=model_cfg.get("num_res_blocks", 2),
+        apply_attn=(
+            tuple(model_cfg["apply_attn"])
+            if isinstance(model_cfg.get("apply_attn"), list)
+            else model_cfg.get("apply_attn", (False, True, False, False))
+        ),
+        drop_rate=model_cfg.get("drop_rate", 0.0),
+        block_size=model_cfg.get("block_size", 1) or 1,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, res, res, channels)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    tx = make_optimizer(lr=1e-4)
+    state = TrainState.create(params, tx, use_ema=True)
+    state, epoch = load_checkpoint(state, chkpt)
+    print(f"loaded checkpoint @ epoch {epoch} (step {int(state.step)})")
+
+    mesh = make_mesh()
+    sample_fn = make_sample_fn(
+        model.apply, diffusion, (args.batch_size, res, res, channels),
+        use_ema=args.use_ema, mesh=mesh,
+    )
+
+    save_dir = os.path.join(args.save_dir, dataset + (f"_{args.suffix}" if args.suffix else ""))
+    os.makedirs(save_dir, exist_ok=True)
+
+    from PIL import Image
+
+    def save_png(img_u8):
+        im = Image.fromarray(img_u8.squeeze(-1) if img_u8.shape[-1] == 1 else img_u8)
+        im.save(os.path.join(save_dir, f"{uuid.uuid4()}.png"))
+
+    key = jax.random.key(args.seed)
+    num_batches = math.ceil(args.total_size / args.batch_size)
+    written = 0
+    with ThreadPoolExecutor(max_workers=args.max_workers) as pool:
+        for i in range(num_batches):
+            key, sub = jax.random.split(key)
+            x = np.asarray(sample_fn(state, sub))
+            n = min(args.batch_size, args.total_size - written)
+            list(pool.map(save_png, to_uint8(x[:n])))
+            written += n
+            print(f"{written}/{args.total_size}", flush=True)
+    print(f"wrote {written} PNGs to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

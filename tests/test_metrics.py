@@ -1,0 +1,92 @@
+"""Metrics tests: streaming stats, Frechet distance, precision/recall."""
+
+import numpy as np
+import pytest
+
+from ddpm_tpu.metrics import Manifold, ManifoldBuilder, StreamingStats, calc_fd, calc_pr
+from ddpm_tpu.metrics.pr import compute_distance
+from ddpm_tpu.metrics.toy import ToyEvaluator
+
+
+def test_streaming_stats_match_batch():
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((1000, 16))
+    stats = StreamingStats(dim=16)
+    for i in range(0, 1000, 128):
+        stats.update(data[i : i + 128])
+    mu, sigma = stats.get_statistics()
+    np.testing.assert_allclose(mu, data.mean(0), atol=1e-10)
+    np.testing.assert_allclose(sigma, np.cov(data, rowvar=False, ddof=1), atol=1e-10)
+
+
+def test_frechet_distance_identity():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((500, 8))
+    mu, sigma = a.mean(0), np.cov(a, rowvar=False, ddof=1)
+    assert abs(calc_fd(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_distance_mean_shift():
+    # identical covariances, shifted means: FD = ||dmu||^2
+    mu1 = np.zeros(4)
+    mu2 = np.ones(4) * 2.0
+    sigma = np.eye(4)
+    assert abs(calc_fd(mu1, sigma, mu2, sigma) - 16.0) < 1e-6
+
+
+def test_compute_distance_matches_cdist():
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((40, 8)).astype(np.float16)
+    b = rng.standard_normal((30, 8)).astype(np.float16)
+    d = compute_distance(a, b, row_batch_size=16, col_batch_size=16)
+    expect = np.sqrt(
+        ((a.astype(np.float64)[:, None] - b.astype(np.float64)[None]) ** 2).sum(-1)
+    )
+    np.testing.assert_allclose(d.astype(np.float64), expect, atol=2e-2)
+
+
+def test_precision_recall_identical_sets():
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((200, 16)).astype(np.float16)
+    m = ManifoldBuilder(features=feats, nhood_size=3, row_batch_size=64, col_batch_size=64)
+    p, r = calc_pr(m.manifold, m.manifold, 64, 64)
+    assert p == 1.0 and r == 1.0
+
+
+def test_precision_recall_disjoint_sets():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((100, 8)).astype(np.float16)
+    b = (rng.standard_normal((100, 8)) + 100.0).astype(np.float16)
+    ma = ManifoldBuilder(features=a, row_batch_size=64, col_batch_size=64).manifold
+    mb = ManifoldBuilder(features=b, row_batch_size=64, col_batch_size=64).manifold
+    p, r = calc_pr(ma, mb, 64, 64)
+    assert p == 0.0 and r == 0.0
+
+
+def test_manifold_save_load(tmp_path):
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((50, 8)).astype(np.float16)
+    builder = ManifoldBuilder(features=feats, row_batch_size=32, col_batch_size=32)
+    path = str(tmp_path / "manifold.npz")
+    builder.save(path)
+    loaded = ManifoldBuilder.load(path)
+    np.testing.assert_array_equal(loaded.features, builder.features)
+    np.testing.assert_array_equal(loaded.kth, builder.kth)
+
+
+def test_toy_evaluator_self_kld_near_zero():
+    rng = np.random.default_rng(6)
+    data = rng.standard_normal((30000, 2))
+    ev = ToyEvaluator(data, total_size=30000, batch_size=30000)
+    result = ev.eval(lambda n, i: data[:n])
+    assert result["kld"] < 1e-6
+
+
+def test_toy_evaluator_detects_mismatch():
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((20000, 2))
+    shifted = data + 2.0
+    ev = ToyEvaluator(data, total_size=20000, batch_size=20000)
+    kld_self = ev.eval(lambda n, i: data[:n])["kld"]
+    kld_shift = ev.eval(lambda n, i: shifted[:n])["kld"]
+    assert kld_shift > kld_self + 1.0

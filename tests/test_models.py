@@ -1,0 +1,117 @@
+"""Shape/structure tests for the UNet and toy Decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_tpu.models import Decoder, UNet
+from ddpm_tpu.ops.resample import depth_to_space, space_to_depth
+
+
+def tiny_unet(**kw):
+    cfg = dict(
+        in_channels=3,
+        hid_channels=32,
+        out_channels=3,
+        ch_multipliers=(1, 2),
+        num_res_blocks=1,
+        apply_attn=(False, True),
+        drop_rate=0.0,
+    )
+    cfg.update(kw)
+    return UNet(**cfg)
+
+
+def test_unet_forward_shape():
+    model = tiny_unet()
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0, 999], jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == x.shape
+    assert out.dtype == jnp.float32
+
+
+def test_unet_zero_init_output():
+    # out_conv is zero-init (reference unet.py:141): fresh model outputs ~0
+    model = tiny_unet()
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    t = jnp.array([10, 20], jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert float(jnp.max(jnp.abs(out))) < 1e-4
+
+
+def test_unet_dropout_needs_rng():
+    model = tiny_unet(drop_rate=0.5)
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    # train=True requires a dropout rng; train=False must be deterministic
+    out1 = model.apply({"params": params}, x, t, train=False)
+    out2 = model.apply(
+        {"params": params}, x, t, train=True, rngs={"dropout": jax.random.key(2)}
+    )
+    assert out1.shape == out2.shape
+
+
+def test_unet_param_count_cifar10():
+    """Parameter count of the full CIFAR-10 config matches the reference
+    UNet's 35.7M (same architecture hyperparameters => same count)."""
+    model = UNet(
+        in_channels=3,
+        hid_channels=128,
+        out_channels=3,
+        ch_multipliers=(1, 2, 2, 2),
+        num_res_blocks=2,
+        apply_attn=(False, True, False, False),
+        drop_rate=0.1,
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    params = jax.eval_shape(lambda: model.init(jax.random.key(0), x, t))["params"]
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    # torch reference: sum(p.numel()) == 35_746_307
+    assert n == 35_746_307, n
+
+
+def test_unet_block_size():
+    model = tiny_unet(block_size=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == x.shape
+
+
+def test_space_depth_roundtrip():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 4, 4, 12)
+    assert jnp.allclose(depth_to_space(y, 2), x)
+
+
+def test_toy_decoder_shape_and_tying():
+    model = Decoder(in_features=2, mid_features=32, num_temporal_layers=3)
+    x = jnp.zeros((4, 2))
+    t = jnp.array([0, 1, 2, 3], jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (4, 2)
+    # weight tying: exactly ONE TemporalLayer parameter subtree regardless of
+    # num_temporal_layers (reference toy_model.py:49-50 reuses one instance)
+    temporal_keys = [k for k in params if k.startswith("temporal")]
+    assert temporal_keys == ["temporal"]
+
+
+@pytest.mark.parametrize("levels,res", [((1, 2), 16), ((1, 2, 2), 16)])
+def test_unet_level_depths(levels, res):
+    model = tiny_unet(ch_multipliers=levels, apply_attn=tuple(False for _ in levels))
+    x = jnp.zeros((1, res, res, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.key(0), x, t))
+    out = jax.eval_shape(
+        lambda p: model.apply(p, x, t), shapes
+    )
+    assert out.shape == x.shape

@@ -1,0 +1,120 @@
+"""End-to-end training tests: toy convergence, sharded step, EMA, accum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_tpu.data.toy import Gaussian8
+from ddpm_tpu.diffusion.toy import ToyGaussianDiffusion
+from ddpm_tpu.math import get_beta_schedule
+from ddpm_tpu.models import Decoder
+from ddpm_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from ddpm_tpu.train import TrainState, make_optimizer, make_sample_fn, make_train_step
+
+
+def make_toy_setup(T=50, mid=32, num_accum=1):
+    betas = get_beta_schedule("linear", 1e-4, 0.02, T)
+    diffusion = ToyGaussianDiffusion.create(betas, "eps", "fixed-small", "mse")
+    model = Decoder(in_features=2, mid_features=mid, num_temporal_layers=2)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 2)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    tx = make_optimizer(lr=1e-3, grad_norm=1.0, warmup=10)
+    state = TrainState.create(params, tx, ema_decay=0.999, num_accum=num_accum)
+    return model, diffusion, state
+
+
+def test_toy_training_reduces_loss():
+    model, diffusion, state = make_toy_setup()
+    step = make_train_step(model.apply, diffusion)
+    data = Gaussian8(4096, random_state=7).data
+    key = jax.random.key(42)
+
+    losses = []
+    for i in range(60):
+        batch = jnp.asarray(data[(i * 64) % 4096 : (i * 64) % 4096 + 64])
+        key, sub = jax.random.split(key)
+        state, loss = step(state, batch, sub)
+        losses.append(float(loss))
+    first, last = np.mean(losses[:10]), np.mean(losses[-10:])
+    assert last < first * 0.7, (first, last)
+    assert int(state.step) == 60
+
+
+def test_toy_sampling_shape_and_finite():
+    model, diffusion, state = make_toy_setup()
+    sample_fn = make_sample_fn(model.apply, diffusion, (16, 2), clip_denoised=False)
+    out = sample_fn(state, jax.random.key(0))
+    assert out.shape == (16, 2)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_sharded_train_step(eight_devices):
+    mesh = make_mesh(eight_devices)
+    model, diffusion, state = make_toy_setup()
+    step = make_train_step(model.apply, diffusion, mesh=mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    batch = shard_batch(jnp.zeros((16, 2)), mesh)
+    state, loss = step(state, batch, jax.random.key(0))
+    assert int(state.step) == 1
+    assert np.isfinite(float(loss))
+    # loss is a replicated global mean
+    assert loss.sharding.is_fully_replicated
+
+
+def test_ema_warmup_decay():
+    """decay_t = min(decay, (1+n)/(10+n)) — at n=0 effective decay is 0.1."""
+    model, diffusion, state = make_toy_setup()
+    p0 = jax.tree.map(jnp.copy, state.params)
+    step = make_train_step(model.apply, diffusion)
+    batch = jnp.asarray(Gaussian8(64, random_state=3).data)
+    state, _ = step(state, batch, jax.random.key(1))
+    # after 1 update: ema = 0.1 * p0 + 0.9 * p1
+    expect = jax.tree.map(lambda a, b: 0.1 * a + 0.9 * b, p0, state.params)
+    chex_close = jax.tree.map(
+        lambda a, b: np.allclose(a, b, atol=1e-6), expect, state.ema_params
+    )
+    assert all(jax.tree.leaves(chex_close))
+
+
+def test_grad_accumulation_updates_every_nth():
+    model, diffusion, state = make_toy_setup(num_accum=2)
+    step = make_train_step(model.apply, diffusion)
+    batch = jnp.asarray(Gaussian8(32, random_state=5).data)
+    key = jax.random.key(9)
+    state, _ = step(state, batch, key)
+    assert int(state.step) == 0  # buffered only
+    state, _ = step(state, batch, jax.random.fold_in(key, 1))
+    assert int(state.step) == 1  # applied
+    assert int(state.accum_step) == 2
+
+
+def test_warmup_schedule_values():
+    from ddpm_tpu.train import warmup_schedule
+
+    sched = warmup_schedule(2e-4, 5000)
+    assert np.isclose(float(sched(0)), 2e-4 / 5000)
+    assert np.isclose(float(sched(4999)), 2e-4)
+    assert np.isclose(float(sched(100000)), 2e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ddpm_tpu.train import load_checkpoint, save_checkpoint
+
+    model, diffusion, state = make_toy_setup()
+    step = make_train_step(model.apply, diffusion)
+    batch = jnp.asarray(Gaussian8(64, random_state=3).data)
+    state, _ = step(state, batch, jax.random.key(1))
+    save_checkpoint(state, str(tmp_path), epoch=3, extra={"loss": 0.5})
+
+    _, _, template = make_toy_setup()
+    restored, start_epoch = load_checkpoint(template, str(tmp_path))
+    assert start_epoch == 3
+    assert int(restored.step) == 1
+    same = jax.tree.map(
+        lambda a, b: np.allclose(a, b), state.params, restored.params
+    )
+    assert all(jax.tree.leaves(same))
