@@ -112,12 +112,12 @@ def flash_attention(
             out_specs=pl.BlockSpec(
                 (1, block_q, C), lambda b, iq, ik: (b, iq, 0), memory_space=pltpu.VMEM
             ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),  # running max
+                pltpu.VMEM((block_q, 1), jnp.float32),  # running normalizer
+                pltpu.VMEM((block_q, C), jnp.float32),  # output accumulator
+            ],
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running normalizer
-            pltpu.VMEM((block_q, C), jnp.float32),  # output accumulator
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
