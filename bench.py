@@ -26,7 +26,7 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC_PER_CHIP = 420.0  # PyTorch A100 estimate (see docstring)
 
 BATCH = 128
-STEPS = 20
+STEPS = 30
 WARMUP = 3
 
 
@@ -67,12 +67,15 @@ def main():
     key = jax.random.key(0)
     for i in range(WARMUP):
         state, loss = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    # Sync via an actual value fetch: on remotely-attached devices (axon
+    # tunnel) block_until_ready can return before execution finishes, which
+    # inflates throughput ~9x. float() cannot lie.
+    float(loss)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, loss = step(state, batch, jax.random.fold_in(key, WARMUP + i))
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = BATCH * STEPS / dt / n_chips

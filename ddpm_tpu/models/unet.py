@@ -52,6 +52,7 @@ class AttentionBlock(nn.Module):
     out_channels: int | None = None
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    fuse_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +61,7 @@ class AttentionBlock(nn.Module):
         skip = x
         if in_ch != out_ch:
             skip = nn.Dense(out_ch, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="skip")(x)
-        h = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        h = GroupNorm32(dtype=self.dtype, fuse=self.fuse_gn, name="norm")(x)
         qkv = nn.Dense(3 * in_ch, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="project_in")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         h = spatial_attention(q, k, v, use_flash=self.use_flash)
@@ -79,6 +80,7 @@ class ResidualBlock(nn.Module):
     out_channels: int
     drop_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fuse_gn: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, *, train: bool = False):
@@ -88,7 +90,7 @@ class ResidualBlock(nn.Module):
             skip = nn.Conv(
                 self.out_channels, (1, 1), kernel_init=DEFAULT_INIT, dtype=self.dtype, name="skip"
             )(x)
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm1")(x))
+        h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn, name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding="SAME",
             kernel_init=DEFAULT_INIT, dtype=self.dtype, name="conv1",
@@ -97,9 +99,12 @@ class ResidualBlock(nn.Module):
             self.out_channels, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="fc"
         )(nn.silu(t_emb))
         h = h + emb[:, None, None, :]
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm2")(h))
-        if self.drop_rate > 0.0:
-            h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+        # norm2 folds SiLU + dropout into the same (fused) op — the dropout
+        # mask comes from the hardware PRNG on the fused TPU path
+        h = GroupNorm32(
+            dtype=self.dtype, with_silu=True, drop_rate=self.drop_rate,
+            fuse=self.fuse_gn, name="norm2",
+        )(h, deterministic=not train)
         h = nn.Conv(
             self.out_channels, (3, 3), padding="SAME",
             kernel_init=ZERO_INIT, dtype=self.dtype, name="conv2",
@@ -165,6 +170,14 @@ class UNet(nn.Module):
     block_size: int = 1
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # Route GroupNorm+SiLU(+dropout) through the single-pass Pallas kernel
+    # (ops/pallas/group_norm.py). Off by default: the kernel beats XLA's
+    # GroupNorm op-level (~1.7x fwd), but as a custom call it breaks XLA's
+    # fusion with the surrounding convs, which cancels the win end-to-end on
+    # this model (measured equal step time either way on a v5e). Kept as a
+    # supported path for A/B checks and for models where the norm is not
+    # fusion-adjacent to a conv.
+    fuse_gn: bool = False
 
     def _apply_attn(self, level: int) -> bool:
         if isinstance(self.apply_attn, bool):
@@ -189,10 +202,14 @@ class UNet(nn.Module):
 
         def block(h, out_ch, level, name):
             h = ResidualBlock(
-                out_ch, drop_rate=self.drop_rate, dtype=self.dtype, name=f"{name}_res"
+                out_ch, drop_rate=self.drop_rate, dtype=self.dtype,
+                fuse_gn=self.fuse_gn, name=f"{name}_res"
             )(h, t_emb, train=train)
             if self._apply_attn(level):
-                h = AttentionBlock(dtype=self.dtype, use_flash=self.use_flash, name=f"{name}_attn")(h)
+                h = AttentionBlock(
+                    dtype=self.dtype, use_flash=self.use_flash,
+                    fuse_gn=self.fuse_gn, name=f"{name}_attn",
+                )(h)
             return h
 
         # --- down path ---
@@ -212,13 +229,17 @@ class UNet(nn.Module):
                 hs.append(h)
 
         # --- middle ---
-        h = ResidualBlock(chs[-1], drop_rate=self.drop_rate, dtype=self.dtype, name="mid_res1")(
-            hs[-1], t_emb, train=train
-        )
-        h = AttentionBlock(dtype=self.dtype, use_flash=self.use_flash, name="mid_attn")(h)
-        h = ResidualBlock(chs[-1], drop_rate=self.drop_rate, dtype=self.dtype, name="mid_res2")(
-            h, t_emb, train=train
-        )
+        h = ResidualBlock(
+            chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
+            fuse_gn=self.fuse_gn, name="mid_res1",
+        )(hs[-1], t_emb, train=train)
+        h = AttentionBlock(
+            dtype=self.dtype, use_flash=self.use_flash, fuse_gn=self.fuse_gn, name="mid_attn"
+        )(h)
+        h = ResidualBlock(
+            chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
+            fuse_gn=self.fuse_gn, name="mid_res2",
+        )(h, t_emb, train=train)
 
         # --- up path ---
         for i in range(levels - 1, -1, -1):
@@ -230,7 +251,7 @@ class UNet(nn.Module):
         assert not hs
 
         # --- output ---
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="out_norm")(h))
+        h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn, name="out_norm")(h)
         h = nn.Conv(
             self.out_channels * self.block_size**2, (3, 3), padding="SAME",
             kernel_init=ZERO_INIT, dtype=self.dtype, name="out_conv",

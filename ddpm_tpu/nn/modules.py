@@ -17,6 +17,7 @@ import math
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -58,23 +59,80 @@ def get_timestep_embedding(timesteps: jnp.ndarray, embed_dim: int, dtype=jnp.flo
     return embed
 
 
+class _GNParams(nn.Module):
+    """Parameter holder reproducing nn.GroupNorm's param tree
+    (``GroupNorm_0/{scale,bias}``) so fused and unfused paths share
+    checkpoints (scripts/convert_checkpoint.py relies on these names)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32 groups, eps 1e-6) computed in f32 regardless of the
-    compute dtype (reference default normalizer: unet.py:18-20)."""
+    compute dtype (reference default normalizer: unet.py:18-20).
+
+    ``with_silu`` folds the SiLU that always follows the norm in this model
+    family into the same op, and ``drop_rate`` folds in the dropout that
+    follows the second norm of every residual block. ``fuse=True`` routes
+    through the single-pass Pallas kernel (ops/pallas/group_norm.py) on TPU —
+    one HBM read + one HBM write per direction instead of separate
+    stats/normalize/activation/mask passes, with the dropout mask drawn from
+    the on-chip hardware PRNG (the unfused threefry mask generation alone
+    costs ~40% of the train step); off-TPU or for oversized slabs it
+    evaluates a numerically matching jnp path.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    with_silu: bool = False
+    drop_rate: float = 0.0
+    fuse: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, deterministic: bool = True):
+        drop = self.drop_rate if not deterministic else 0.0
+        if self.fuse:
+            from ..ops.pallas.group_norm import fused_group_norm_silu
+
+            seed = None
+            if drop > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.lax.convert_element_type(
+                    jax.random.key_data(key).reshape(-1)[0], jnp.int32
+                )
+            scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+            B, H, W, C = x.shape
+            y = fused_group_norm_silu(
+                x.reshape(B, H * W, C),
+                scale,
+                bias,
+                self.num_groups,
+                self.epsilon,
+                self.with_silu,
+                False,
+                drop,
+                seed,
+            ).reshape(B, H, W, C)
+            return y.astype(self.dtype)
         y = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        if self.with_silu:
+            y = nn.silu(y)
+        y = y.astype(self.dtype)
+        if drop > 0.0:
+            y = nn.Dropout(self.drop_rate, deterministic=False)(y)
+        return y
 
 
 def silu(x):

@@ -11,7 +11,14 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["save_image_grid", "save_scatterplot", "infer_range"]
+__all__ = ["save_image_grid", "save_scatterplot", "infer_range", "split_squeeze"]
+
+
+def split_squeeze(data: np.ndarray) -> tuple:
+    """Split an (N, 2) point set into x/y 1-D arrays for plotting
+    (reference: ddpm_torch/utils/__init__.py:88-93)."""
+    x, y = np.split(np.asarray(data), 2, axis=1)
+    return x.squeeze(1), y.squeeze(1)
 
 
 def save_image_grid(path: str, images: np.ndarray, nrow: Optional[int] = None, padding: int = 2):

@@ -30,3 +30,152 @@ def test_flash_single_block():
     dense = _dense_attention(q, k, v)
     flash = flash_attention(q, k, v, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-5)
+
+
+# ---------------------------------------------------------------------- #
+# fused GroupNorm+SiLU
+# ---------------------------------------------------------------------- #
+
+import flax.linen as nn  # noqa: E402
+
+from ddpm_tpu.ops.pallas.group_norm import (  # noqa: E402
+    fused_group_norm_silu,
+    group_norm_silu_reference,
+)
+
+
+def _flax_gn_silu(x, gamma, beta, num_groups=32, eps=1e-6, silu=True):
+    B, N, C = x.shape
+    mod = nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=jnp.float32)
+    y = mod.apply({"params": {"scale": gamma, "bias": beta}}, x.reshape(B, 1, N, C))
+    y = y.reshape(B, N, C)
+    return nn.silu(y) if silu else y
+
+
+def test_fused_gn_silu_matches_flax():
+    key = jax.random.key(2)
+    B, N, C = 3, 64, 128
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma = jax.random.normal(jax.random.fold_in(key, 1), (C,)) * 0.2 + 1.0
+    beta = jax.random.normal(jax.random.fold_in(key, 2), (C,)) * 0.1
+    want = _flax_gn_silu(x, gamma, beta)
+    got = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, True, True)  # interpret
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    fallback = group_norm_silu_reference(x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(fallback), np.asarray(want), atol=1e-5)
+
+
+def test_fused_gn_no_silu_matches_flax():
+    key = jax.random.key(3)
+    B, N, C = 2, 32, 256
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma = jnp.ones((C,))
+    beta = jnp.zeros((C,))
+    want = _flax_gn_silu(x, gamma, beta, silu=False)
+    got = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, False, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_gn_silu_grads_match_autodiff():
+    key = jax.random.key(4)
+    B, N, C = 2, 48, 128
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma = jax.random.normal(jax.random.fold_in(key, 1), (C,)) * 0.3 + 1.0
+    beta = jax.random.normal(jax.random.fold_in(key, 2), (C,)) * 0.2
+    g = jax.random.normal(jax.random.fold_in(key, 3), (B, N, C), jnp.float32)
+
+    def loss_kernel(x, gamma, beta):
+        return jnp.sum(fused_group_norm_silu(x, gamma, beta, 32, 1e-6, True, True) * g)
+
+    def loss_ref(x, gamma, beta):
+        return jnp.sum(_flax_gn_silu(x, gamma, beta) * g)
+
+    got = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, gamma, beta)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_fused_gn_bf16_io():
+    key = jax.random.key(5)
+    B, N, C = 2, 64, 128
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma, beta = jnp.ones((C,)), jnp.zeros((C,))
+    want = _flax_gn_silu(x, gamma, beta)
+    got = fused_group_norm_silu(x.astype(jnp.bfloat16), gamma, beta, 32, 1e-6, True, True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=3e-2
+    )
+
+
+def test_fused_gn_oversized_slab_falls_back():
+    # N*C above the VMEM budget must route to the jnp path (and still match)
+    key = jax.random.key(6)
+    B, N, C = 1, 16384, 128  # 2M elements > budget
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma, beta = jnp.ones((C,)), jnp.zeros((C,))
+    want = _flax_gn_silu(x, gamma, beta)
+    got = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_gn_dropout_statistics():
+    # interpret-mode hardware-PRNG dropout: ~drop_rate of outputs zero,
+    # survivors scaled by 1/(1-p)
+    key = jax.random.key(7)
+    B, N, C = 4, 128, 128
+    p = 0.5
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma, beta = jnp.ones((C,)), jnp.zeros((C,))
+    seed = jnp.asarray(1234, jnp.int32)
+    y = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, False, True, p, seed)
+    base = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, False, True, 0.0, None)
+    y, base = np.asarray(y), np.asarray(base)
+    kept = y != 0.0
+    frac_kept = kept.mean()
+    assert abs(frac_kept - (1 - p)) < 0.03, frac_kept
+    np.testing.assert_allclose(y[kept], base[kept] / (1 - p), rtol=1e-5)
+
+
+def test_fused_gn_dropout_bwd_mask_matches_fwd():
+    # the backward must regenerate the exact same mask as the forward:
+    # recover the mask from y (silu off, gamma=1, beta=0 => y = m * xhat),
+    # then compare dx against the analytic GN backward using that mask.
+    key = jax.random.key(8)
+    B, N, C = 2, 64, 128
+    G, p = 32, 0.4
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma, beta = jnp.ones((C,)), jnp.zeros((C,))
+    seed = jnp.asarray(77, jnp.int32)
+
+    f = lambda xx: fused_group_norm_silu(xx, gamma, beta, 32, 1e-6, False, True, p, seed)
+    y, vjp = jax.vjp(f, x)
+    g = jax.random.normal(jax.random.fold_in(key, 1), (B, N, C), jnp.float32)
+    (dx,) = vjp(g)
+
+    y, xn, gn = np.asarray(y), np.asarray(x), np.asarray(g)
+    m = (y != 0.0).astype(np.float32) / (1 - p)   # recovered keep-scale
+    cg = C // G
+    xg = xn.reshape(B, N, G, cg)
+    mu = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mu) ** 2).mean(axis=(1, 3), keepdims=True)
+    rsig = 1.0 / np.sqrt(var + 1e-6)
+    xhat = ((xg - mu) * rsig).reshape(B, N, C)
+    geff = (gn * m).reshape(B, N, G, cg)
+    mean_g = geff.mean(axis=(1, 3), keepdims=True)
+    mean_gx = (geff * xhat.reshape(B, N, G, cg)).mean(axis=(1, 3), keepdims=True)
+    want = (rsig * (geff - mean_g - xhat.reshape(B, N, G, cg) * mean_gx)).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(dx), want, atol=2e-4)
+
+
+def test_fused_gn_dropout_deterministic_per_seed():
+    key = jax.random.key(9)
+    B, N, C = 2, 64, 128
+    x = jax.random.normal(key, (B, N, C), jnp.float32)
+    gamma, beta = jnp.ones((C,)), jnp.zeros((C,))
+    a = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, True, True, 0.3, jnp.asarray(5, jnp.int32))
+    b = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, True, True, 0.3, jnp.asarray(5, jnp.int32))
+    c = fused_group_norm_silu(x, gamma, beta, 32, 1e-6, True, True, 0.3, jnp.asarray(6, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.any(np.asarray(a) != np.asarray(c))
