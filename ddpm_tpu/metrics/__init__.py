@@ -65,14 +65,25 @@ class Evaluator:
         root: Optional[str] = None,
         precomputed_dir: str = "precomputed",
         inception_weights: str = INCEPTION_WEIGHTS,
+        variables=None,
+        extractor: Optional[Callable] = None,
     ):
+        """``variables`` injects already-loaded (or test) Inception weights;
+        otherwise they are loaded from ``inception_weights`` (the npz written
+        by scripts/convert_inception.py). ``extractor`` overrides the feature
+        function entirely (``f(batch_01_nhwc) -> (B, D)``) — used by tests
+        and by callers that bring their own embedding network."""
         import jax
 
         self.dataset = dataset
         self.total_size = total_size
         self.batch_size = batch_size
-        variables = load_inception_variables(inception_weights)
-        self.extract = make_feature_extractor(variables)
+        if extractor is not None:
+            self.extract = extractor
+        else:
+            if variables is None:
+                variables = load_inception_variables(inception_weights)
+            self.extract = make_feature_extractor(variables)
         try:
             self.target_mean, self.target_var = get_precomputed(dataset, precomputed_dir)
         except FileNotFoundError:
@@ -94,17 +105,21 @@ class Evaluator:
     def eval(self, sample_fn: Callable) -> dict:
         import jax
 
-        stats = StreamingStats()
+        stats = StreamingStats(dim=None)
         remaining = self.total_size
         i = 0
         while remaining > 0:
             n = min(self.batch_size, remaining)
             self.key, sub = jax.random.split(self.key)
-            x = np.asarray(sample_fn(n, sub))  # float [-1, 1] NHWC
+            # always request a FULL batch and discard the surplus of the
+            # final one: one static shape -> one compiled sampler/extractor
+            # (the reference instead shapes the last batch dynamically,
+            # metrics/__init__.py:42-45, which would recompile under XLA)
+            x = np.asarray(sample_fn(self.batch_size, sub))  # float [-1,1] NHWC
             x01 = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
             if x01.shape[-1] == 1:
                 x01 = np.repeat(x01, 3, axis=-1)
-            stats.update(np.asarray(self.extract(x01[:n])))
+            stats.update(np.asarray(self.extract(x01))[:n])
             remaining -= n
             i += 1
         gen_mean, gen_var = stats.get_statistics()

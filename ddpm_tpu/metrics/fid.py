@@ -27,17 +27,26 @@ __all__ = ["StreamingStats", "calc_fd", "get_precomputed", "compute_dataset_stat
 class StreamingStats:
     """Streaming mean + covariance over feature batches (float64, host)."""
 
-    def __init__(self, dim: int = 2048):
+    def __init__(self, dim: Optional[int] = 2048):
+        # dim=None: infer the feature width from the first update() batch
         self.dim = dim
         self.reset()
 
     def reset(self) -> None:
-        self.running_mean = np.zeros((self.dim,), np.float64)
-        self.running_var = np.zeros((self.dim, self.dim), np.float64)
+        if self.dim is None:
+            self.running_mean = None
+            self.running_var = None
+        else:
+            self.running_mean = np.zeros((self.dim,), np.float64)
+            self.running_var = np.zeros((self.dim, self.dim), np.float64)
         self.count = 0
 
     def update(self, acts: np.ndarray) -> None:
         acts = np.asarray(acts, np.float64)
+        if self.running_mean is None:
+            self.dim = acts.shape[1]
+            self.running_mean = np.zeros((self.dim,), np.float64)
+            self.running_var = np.zeros((self.dim, self.dim), np.float64)
         mean = acts.mean(axis=0)
         var = np.cov(acts, rowvar=False, ddof=0)
         count = acts.shape[0]
@@ -104,7 +113,7 @@ def compute_dataset_stats(
     batches,
     extract_features: Callable[[np.ndarray], np.ndarray],
     save_path: Optional[str] = None,
-    dim: int = 2048,
+    dim: Optional[int] = None,
 ):
     """Stream raw-data batches (uint8 NHWC or float [0,1]) through the
     feature extractor and return/save (mu, sigma) — the reference eval.py

@@ -46,6 +46,7 @@ class Trainer:
         state: TrainState,
         trainloader,
         epochs: int,
+        sampler_diffusion=None,
         mesh=None,
         sample_size: int = 64,
         sample_shape=None,
@@ -58,6 +59,10 @@ class Trainer:
     ):
         self.model = model
         self.diffusion = diffusion
+        # sampling (grids + in-loop eval) may use a different process than
+        # training — e.g. a 50-step DDIM while training on the 1000-step DDPM
+        # (reference train.py:175-213)
+        self.sampler_diffusion = sampler_diffusion if sampler_diffusion is not None else diffusion
         self.state = state
         self.trainloader = trainloader
         self.epochs = epochs
@@ -78,11 +83,13 @@ class Trainer:
         self.train_step = make_train_step(
             model.apply, diffusion, has_dropout=has_dropout, mesh=self.mesh
         )
+        self.use_ema_for_sampling = use_ema_for_sampling
+        self._eval_samplers = {}
         self.sample_fn = None
         if sample_shape is not None:
             self.sample_fn = make_sample_fn(
                 model.apply,
-                diffusion,
+                self.sampler_diffusion,
                 (sample_size, *sample_shape),
                 use_ema=use_ema_for_sampling,
                 mesh=self.mesh,
@@ -160,11 +167,24 @@ class Trainer:
                     self.logger(f"checkpoint saved @ epoch {epoch + 1}")
 
     def sample_fn_for_eval(self):
-        """Adapter handing the in-loop evaluator a `fn(sample_size, key)`."""
+        """Adapter handing the in-loop evaluator a ``fn(n, key)``.
+
+        A dedicated jitted sampler is built (and cached) per requested batch
+        size, so the evaluator's batch size is independent of the image-grid
+        ``sample_size`` and every call keeps static shapes.
+        """
 
         def fn(n: int, key):
-            # evaluator batches are capped at sample_size for static shapes
-            assert self.sample_fn is not None
-            return np.asarray(self.sample_fn(self.state, key))[:n]
+            sampler = self._eval_samplers.get(n)
+            if sampler is None:
+                sampler = make_sample_fn(
+                    self.model.apply,
+                    self.sampler_diffusion,
+                    (n, *self.sample_shape),
+                    use_ema=self.use_ema_for_sampling,
+                    mesh=self.mesh,
+                )
+                self._eval_samplers[n] = sampler
+            return np.asarray(sampler(self.state, key))
 
         return fn

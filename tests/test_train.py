@@ -118,3 +118,65 @@ def test_checkpoint_roundtrip(tmp_path):
         lambda a, b: np.allclose(a, b), state.params, restored.params
     )
     assert all(jax.tree.leaves(same))
+
+
+def test_trainer_in_loop_eval_and_checkpoint(tmp_path):
+    """Full Trainer.train() loop with an in-loop Evaluator and checkpointing:
+    exercises the dedicated per-size eval sampler, the padded-free streaming
+    FID path, image grids, and the orbax save (reference
+    utils/train.py:191-234 responsibilities)."""
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.metrics import Evaluator
+    from ddpm_tpu.models import UNet
+    from ddpm_tpu.train.trainer import Trainer
+
+    T = 5
+    betas = get_beta_schedule("linear", 1e-4, 0.02, T)
+    from ddpm_tpu.diffusion import GaussianDiffusion
+
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-large", "mse")
+    model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3,
+        ch_multipliers=(1, 2), num_res_blocks=1, apply_attn=(False, True),
+        drop_rate=0.1,
+    )
+    x = jnp.zeros((4, 8, 8, 3), jnp.float32)
+    t = jnp.zeros((4,), jnp.int32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    tx = make_optimizer(lr=1e-3, grad_norm=1.0, warmup=10)
+    state = TrainState.create(params, tx, ema_decay=0.999)
+
+    loader, _ = get_dataloader(
+        "fakedata", batch_size=8, split="train", resolution=8, num_examples=16
+    )
+    trainer = Trainer(
+        model=model,
+        diffusion=diffusion,
+        state=state,
+        trainloader=loader,
+        epochs=1,
+        sample_size=8,
+        sample_shape=(8, 8, 3),
+        image_intv=1,
+        chkpt_intv=1,
+        logger=lambda *_: None,
+    )
+
+    def extractor(x01):
+        xb = np.asarray(x01, np.float32).reshape(len(x01), -1)
+        return xb[:, :: max(1, xb.shape[1] // 8)][:, :8]
+
+    ev = Evaluator(
+        "fakedata", total_size=12, batch_size=8,
+        precomputed_dir=str(tmp_path / "pre"), extractor=extractor,
+    )
+    trainer.train(
+        evaluator=ev,
+        chkpt_dir=str(tmp_path / "c"),
+        image_dir=str(tmp_path / "i"),
+    )
+    import os
+    assert os.path.exists(str(tmp_path / "i" / "1.png"))
+    assert any(os.scandir(str(tmp_path / "c")))
+    # the eval sampler cache holds the evaluator's batch size, not sample_size
+    assert 8 in trainer._eval_samplers

@@ -222,6 +222,7 @@ def train(args):
     trainer = Trainer(
         model=model,
         diffusion=diffusion,
+        sampler_diffusion=sampler_diffusion,
         state=state,
         trainloader=trainloader,
         epochs=epochs,
@@ -234,17 +235,6 @@ def train(args):
         dry_run=args.dry_run,
         logger=logger,
     )
-    if args.use_ddim:
-        from ddpm_tpu.train import make_sample_fn
-
-        trainer.sample_fn = make_sample_fn(
-            model.apply,
-            sampler_diffusion,
-            (args.num_samples, res, res, channels),
-            use_ema=use_ema,
-            mesh=mesh,
-        )
-
     evaluator = None
     if args.eval:
         from ddpm_tpu.metrics import Evaluator
