@@ -33,20 +33,42 @@ __all__ = [
     "ToyEvaluator",
     "VGG16Features",
     "make_vgg_extractor",
+    "load_inception_variables",
+    "load_vgg_variables",
+    "INCEPTION_WEIGHTS",
+    "VGG_WEIGHTS",
 ]
 
 INCEPTION_WEIGHTS = os.path.join(
     os.path.expanduser("~/.cache/ddpm_tpu"), "fid_inception_v3.npz"
 )
+VGG_WEIGHTS = os.path.join(
+    os.path.expanduser("~/.cache/ddpm_tpu"), "vgg16_stylegan2.npz"
+)
+
+
+def _load_variables_npz(path: str, what: str, converter: str):
+    from flax.traverse_util import unflatten_dict
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{what} weights not found at {path}. This environment has no "
+            f"network egress; obtain the reference torch weights and run "
+            f"{converter} once to produce the npz."
+        )
+    data = np.load(path)
+    flat = {tuple(k.split("/")): data[k] for k in data.files}
+    return unflatten_dict(flat)
 
 
 def load_inception_variables(path: str = INCEPTION_WEIGHTS):
     """Load converted FID-Inception weights (scripts/convert_inception.py)."""
-    from flax.traverse_util import unflatten_dict
+    return _load_variables_npz(path, "FID InceptionV3", "scripts/convert_inception.py")
 
-    data = np.load(path)
-    flat = {tuple(k.split("/")): data[k] for k in data.files}
-    return unflatten_dict(flat)
+
+def load_vgg_variables(path: str = VGG_WEIGHTS):
+    """Load converted StyleGAN2-ADA VGG16 weights (scripts/convert_vgg.py)."""
+    return _load_variables_npz(path, "VGG16", "scripts/convert_vgg.py")
 
 
 class Evaluator:

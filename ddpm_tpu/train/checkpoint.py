@@ -21,7 +21,22 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_epoch"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_epoch", "resolve_checkpoint"]
+
+
+def resolve_checkpoint(path: str) -> Tuple[str, Optional[int]]:
+    """Normalize a user-supplied checkpoint path.
+
+    Accepts either a run directory containing epoch-numbered subdirs, or a
+    specific epoch directory itself (``.../<run>/<epoch>``) — the latter
+    matches the reference's ``--chkpt-path`` pointing at one exact artifact
+    (generate.py:72-93). Returns ``(run_dir, epoch_or_None)``.
+    """
+    path = os.path.abspath(path)
+    base = os.path.basename(os.path.normpath(path))
+    if base.isdigit() and os.path.isdir(path):
+        return os.path.dirname(os.path.normpath(path)), int(base)
+    return path, None
 
 
 def _checkpointer() -> ocp.PyTreeCheckpointer:
@@ -65,17 +80,33 @@ def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple
     epoch to resume *from*.
     """
     if epoch is None:
+        chkpt_dir, epoch = resolve_checkpoint(chkpt_dir)
+    if epoch is None:
         epoch = latest_epoch(chkpt_dir)
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {chkpt_dir}")
     path = os.path.join(os.path.abspath(chkpt_dir), str(epoch))
     template = _state_to_tree(state)
+    # tolerate EMA presence mismatch: a run trained without --use-ema can be
+    # loaded into an EMA-carrying state (EMA falls back to the raw params —
+    # reference generate.py:72-93 fallback order) and vice versa
+    try:
+        meta = _checkpointer().metadata(path)
+        tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+        saved_keys = set(tree.keys()) if tree is not None else set(template.keys())
+    except Exception:
+        saved_keys = set(template.keys())
+    if "ema_params" in template and "ema_params" not in saved_keys:
+        template.pop("ema_params")
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     restored = _checkpointer().restore(path, item=abstract)
+    ema = restored.get("ema_params")
+    if ema is None and state.ema_params is not None:
+        ema = jax.tree.map(np.copy, restored["params"])
     new_state = state.replace(
         step=np.asarray(restored["step"]),
         params=restored["params"],
         opt_state=restored["opt_state"],
-        ema_params=restored.get("ema_params", state.ema_params),
+        ema_params=ema,
     )
     return new_state, epoch

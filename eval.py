@@ -56,6 +56,7 @@ def main():
     from ddpm_tpu.data import get_dataloader
     from ddpm_tpu.metrics import (
         INCEPTION_WEIGHTS,
+        VGG_WEIGHTS,
         ManifoldBuilder,
         StreamingStats,
         calc_fd,
@@ -63,12 +64,25 @@ def main():
         compute_dataset_stats,
         get_precomputed,
         load_inception_variables,
+        load_vgg_variables,
         make_feature_extractor,
+        make_vgg_extractor,
     )
 
     root = os.path.expanduser(args.root)
     results = {}
-    extract = make_feature_extractor(load_inception_variables(INCEPTION_WEIGHTS))
+    try:
+        extract = make_feature_extractor(load_inception_variables(INCEPTION_WEIGHTS))
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}")
+    # PR uses the StyleGAN2-ADA VGG16 embedding when the converted weights
+    # exist (reference precision_recall.py:22-40); otherwise it degrades to
+    # the Inception pool features (documented fallback, metrics/vgg.py).
+    if os.path.exists(VGG_WEIGHTS):
+        pr_extract = make_vgg_extractor(load_vgg_variables(VGG_WEIGHTS))
+    else:
+        print("note: VGG16 weights absent; using Inception features for PR", flush=True)
+        pr_extract = extract
 
     def raw_data_batches():
         loader, _ = get_dataloader(
@@ -108,14 +122,14 @@ def main():
             true_manifold = ManifoldBuilder.load(manifold_path)
         else:
             builder = ManifoldBuilder(
-                data=raw_data_batches(), extractor=extract,
+                data=raw_data_batches(), extractor=pr_extract,
                 max_size=args.eval_total_size, **kw,
             )
             builder.save(manifold_path)
             true_manifold = builder.manifold
         gen_manifold = ManifoldBuilder(
             data=iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size),
-            extractor=extract,
+            extractor=pr_extract,
             max_size=args.eval_total_size,
             **kw,
         ).manifold

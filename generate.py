@@ -57,10 +57,13 @@ def main():
     config_path = args.config_path or (
         os.path.join(args.config_dir, f"{args.dataset}.json") if args.config_dir else args.dataset
     )
-    config = load_config(config_path)
-    dataset = config.get("dataset", args.dataset)
-    diff_cfg = config.get("diffusion") or {}
-    model_cfg = config.get("model") or {}
+    try:
+        config = load_config(config_path)
+    except FileNotFoundError:
+        config = None  # datasets without a bundled config use CLI defaults
+    dataset = (config or {}).get("dataset", args.dataset)
+    diff_cfg = (config or {}).get("diffusion") or {}
+    model_cfg = (config or {}).get("model") or {}
 
     timesteps = diff_cfg.get("timesteps", 1000)
     betas = get_beta_schedule(
@@ -83,10 +86,11 @@ def main():
         )
 
     # fail fast on a missing checkpoint BEFORE the (expensive) model build
-    from ddpm_tpu.train.checkpoint import latest_epoch
+    from ddpm_tpu.train.checkpoint import latest_epoch, resolve_checkpoint
 
     chkpt = args.chkpt_path or os.path.join(args.chkpt_dir, f"ddpm_{dataset}")
-    if latest_epoch(chkpt) is None:
+    chkpt_run, chkpt_epoch = resolve_checkpoint(chkpt)
+    if chkpt_epoch is None and latest_epoch(chkpt_run) is None:
         raise SystemExit(f"error: no checkpoint found under {chkpt!r}")
 
     info = DATASET_INFO[dataset]

@@ -180,3 +180,31 @@ def test_trainer_in_loop_eval_and_checkpoint(tmp_path):
     assert any(os.scandir(str(tmp_path / "c")))
     # the eval sampler cache holds the evaluator's batch size, not sample_size
     assert 8 in trainer._eval_samplers
+
+
+def test_checkpoint_ema_mismatch_and_epoch_path(tmp_path):
+    """A run saved without EMA loads into an EMA-carrying state (EMA falls
+    back to the restored params), and --chkpt-path may point either at the
+    run dir or directly at an epoch dir."""
+    from ddpm_tpu.train.checkpoint import (
+        load_checkpoint,
+        resolve_checkpoint,
+        save_checkpoint,
+    )
+
+    model, diffusion, state_noema = make_toy_setup()
+    state_noema = state_noema.replace(ema_params=None)
+    save_checkpoint(state_noema, str(tmp_path), 3, {"loss": 1.0})
+
+    run_dir, ep = resolve_checkpoint(str(tmp_path / "3"))
+    assert run_dir == str(tmp_path) and ep == 3
+    run_dir2, ep2 = resolve_checkpoint(str(tmp_path))
+    assert run_dir2 == str(tmp_path) and ep2 is None
+
+    _, _, template = make_toy_setup()  # EMA-carrying template
+    restored, epoch = load_checkpoint(template, str(tmp_path / "3"))
+    assert epoch == 3
+    assert restored.ema_params is not None
+    p0 = jax.tree.leaves(restored.params)[0]
+    e0 = jax.tree.leaves(restored.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(e0))
