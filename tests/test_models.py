@@ -115,3 +115,35 @@ def test_unet_level_depths(levels, res):
         lambda p: model.apply(p, x, t), shapes
     )
     assert out.shape == x.shape
+
+
+def test_unet_remat_matches_baseline():
+    """remat=True must be numerically identical (fwd and grads) — it only
+    changes what is stored vs recomputed in the backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddpm_tpu.models import UNet
+
+    kw = dict(
+        in_channels=3, hid_channels=32, out_channels=3,
+        ch_multipliers=(1, 2), num_res_blocks=1, apply_attn=(False, True),
+        drop_rate=0.0,
+    )
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    t = jnp.array([3, 7], jnp.int32)
+    m0, m1 = UNet(**kw), UNet(**kw, remat=True)
+    params = m0.init(jax.random.key(1), x, t)["params"]
+
+    y0 = m0.apply({"params": params}, x, t)
+    y1 = m1.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x, t) ** 2)
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

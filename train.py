@@ -68,6 +68,11 @@ def main():
     parser.add_argument("--train-split", default=None, type=str)
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (recommended on TPU)")
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="per-block rematerialization (required for celebahq-scale "
+        "batches on one chip; trades ~30%% extra FLOPs for activation HBM)",
+    )
     args = parser.parse_args()
     train(args)
 
@@ -143,6 +148,7 @@ def train(args):
         drop_rate=model_cfg.get("drop_rate", 0.0),
         block_size=model_cfg.get("block_size", args.block_size) or 1,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=bool(model_cfg.get("remat", args.remat)),
     )
 
     batch_size = get_param("batch_size", train_cfg, args)
