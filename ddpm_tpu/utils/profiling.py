@@ -4,9 +4,14 @@ The reference has no tracing at all (SURVEY.md §5: tqdm only + cudnn
 autotune). On TPU the equivalents are:
   * ``trace(logdir)`` — context manager around ``jax.profiler`` capturing a
     device trace viewable in TensorBoard/XProf/Perfetto;
-  * ``StepTimer`` — wall-clock step timing with explicit
-    ``block_until_ready`` sync points, reporting imgs/sec and p50/p90
-    latencies without perturbing steady-state dispatch.
+  * ``StepTimer`` — wall-clock step timing with explicit value-fetch sync
+    points, reporting imgs/sec and p50/p90 latencies without perturbing
+    steady-state dispatch.
+
+Sync caveat: on remotely-attached devices (axon tunnel),
+``jax.block_until_ready`` can return before device execution finishes,
+inflating throughput ~9x. The only reliable sync is fetching a computed
+value — ``value_sync`` below does that with a single-element transfer.
 """
 
 from __future__ import annotations
@@ -18,7 +23,18 @@ from typing import List, Optional
 import jax
 import numpy as np
 
-__all__ = ["trace", "StepTimer", "annotate"]
+__all__ = ["trace", "StepTimer", "annotate", "value_sync"]
+
+
+def value_sync(result) -> None:
+    """Wait for ``result`` by fetching one element of its first leaf.
+
+    Unlike ``block_until_ready`` this cannot complete before the device has
+    produced the value, so it is an honest sync point on every backend.
+    """
+    leaf = jax.tree.leaves(result)[0]
+    ndim = getattr(leaf, "ndim", 0)
+    jax.device_get(leaf[(0,) * ndim] if ndim else leaf)
 
 
 @contextlib.contextmanager
@@ -50,7 +66,7 @@ class StepTimer:
 
     def stop(self, result=None) -> float:
         if result is not None:
-            jax.block_until_ready(result)
+            value_sync(result)
         dt = time.perf_counter() - self._t0
         self._count += 1
         if self._count > self.warmup:

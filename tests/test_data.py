@@ -99,3 +99,106 @@ def test_data_streamer_epochs():
     batches = list(ds)
     assert len(batches) == 4
     assert all(b.shape == (32, 2) for b in batches)
+
+
+def test_mnist_idx_parser_roundtrip(tmp_path):
+    """Write a synthetic gzipped IDX3 file in the real MNIST format and load
+    it through the MNIST dataset class (28->32 resize, NHWC, HW preserved)."""
+    import gzip
+    import struct
+
+    from ddpm_tpu.data.datasets import MNIST
+
+    # constant-valued images survive the 28->32 bilinear stretch exactly
+    imgs = np.stack([np.full((28, 28), v, np.uint8) for v in (0, 40, 80, 120, 160, 200, 240)])
+    base = tmp_path / "mnist"
+    base.mkdir()
+    with gzip.open(base / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">I", 0x00000803))  # magic: ubyte, 3 dims
+        f.write(struct.pack(">3I", *imgs.shape))
+        f.write(imgs.tobytes())
+
+    ds = MNIST(root=str(tmp_path), split="train")
+    assert len(ds) == 7
+    batch = ds.get_batch(np.arange(7))
+    assert batch.shape == (7, 32, 32, 1) and batch.dtype == np.uint8
+    # constant images resize to the same constant
+    for i, v in enumerate((0, 40, 80, 120, 160, 200, 240)):
+        assert np.all(batch[i] == v), (i, v)
+
+
+def test_cifar10_pickle_parser_roundtrip(tmp_path):
+    """Write synthetic CIFAR-10 python-pickle batches (channel-major rows,
+    the real disk format) and load via the CIFAR10 class (NHWC out)."""
+    import pickle
+
+    from ddpm_tpu.data.datasets import CIFAR10
+
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.RandomState(1)
+    per = 4
+    truth = []
+    for i in range(1, 6):
+        arr = rng.randint(0, 256, (per, 3, 32, 32), dtype=np.uint8)
+        truth.append(arr)
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": arr.reshape(per, -1)}, f)
+    ds = CIFAR10(root=str(tmp_path), split="train")
+    assert len(ds) == 20
+    batch = ds.get_batch(np.arange(20))
+    want = np.concatenate(truth).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(batch, want)
+
+
+def test_celeba_split_and_crop(tmp_path):
+    """Synthetic CelebA tree: list_eval_partition.txt split filtering plus
+    the (top=40, left=15, 148x148) crop -> 64x64 resize pipeline
+    (reference datasets.py:68-69, 72-153)."""
+    from PIL import Image
+
+    from ddpm_tpu.data.datasets import CelebA
+
+    base = tmp_path / "celeba"
+    img_dir = base / "img_align_celeba"
+    img_dir.mkdir(parents=True)
+    rows = []
+    for i, code in enumerate([0, 0, 1, 2, 0]):
+        name = f"{i:06d}.jpg"
+        # celebA aligned images are 178x218 (WxH)
+        arr = np.full((218, 178, 3), i * 40, np.uint8)
+        Image.fromarray(arr).save(img_dir / name)
+        rows.append(f"{name} {code}")
+    (base / "list_eval_partition.txt").write_text("\n".join(rows) + "\n")
+
+    for split, want in (("train", 3), ("valid", 1), ("test", 1), ("all", 5)):
+        ds = CelebA(root=str(tmp_path), split=split)
+        assert len(ds) == want, (split, len(ds), want)
+
+    ds = CelebA(root=str(tmp_path), split="all")
+    batch = ds.get_batch(np.array([0, 4]))
+    assert batch.shape == (2, 64, 64, 3) and batch.dtype == np.uint8
+    assert np.all(batch[0] == 0) and np.all(batch[1] == 160)
+
+
+def test_celebahq_legacy_order(tmp_path):
+    """CelebA-HQ files are sorted then shuffled with RandomState(123) to
+    reproduce the legacy ProGAN order (reference datasets.py:156-198)."""
+    from PIL import Image
+
+    from ddpm_tpu.data.datasets import CelebA_HQ
+
+    img_dir = tmp_path / "celeba_hq" / "img_celeba_hq"
+    img_dir.mkdir(parents=True)
+    n = 8
+    for i in range(n):
+        Image.fromarray(np.full((16, 16, 3), i * 30, np.uint8)).save(
+            img_dir / f"{i:05d}.png"
+        )
+    ds = CelebA_HQ(root=str(tmp_path))
+    names = sorted(f"{i:05d}.png" for i in range(n))
+    np.random.RandomState(123).shuffle(names)
+    batch = ds.get_batch(np.arange(n))
+    for j, nm in enumerate(names):
+        v = int(nm.split(".")[0]) * 30
+        assert np.all(batch[j] == v), (j, nm)
