@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     batch_sharding,
     init_distributed,
+    addressable_rows,
     local_batch_slice,
     make_mesh,
     replicated_sharding,
@@ -14,6 +15,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "addressable_rows",
     "local_batch_slice",
     "init_distributed",
 ]

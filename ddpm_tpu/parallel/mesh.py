@@ -23,6 +23,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "local_batch_slice",
+    "addressable_rows",
     "init_distributed",
 ]
 
@@ -59,6 +60,31 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
     """Device-put a host batch with the leading axis sharded over the mesh."""
     return jax.device_put(x, batch_sharding(mesh, axis))
+
+
+def addressable_rows(x, limit: Optional[int] = None) -> np.ndarray:
+    """Host-local rows of a batch-sharded global array, in global order,
+    keeping only global row indices < ``limit``.
+
+    This is the SPMD equivalent of the reference's rank-sharded bulk
+    generation (each mp.spawn worker writes only its own shard,
+    generate.py:105-110, 160-166): on multi-host, every process extracts the
+    rows its devices own and writes those; single-host it equals
+    ``np.asarray(x)[:limit]``.
+    """
+    out = []
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        data = np.asarray(s.data)
+        if limit is not None:
+            keep = max(0, min(len(data), limit - start))
+            data = data[:keep]
+        if len(data):
+            out.append((start, data))
+    if not out:
+        return np.empty((0,) + x.shape[1:], x.dtype)
+    out.sort(key=lambda t: t[0])
+    return np.concatenate([d for _, d in out])
 
 
 def local_batch_slice(global_batch: int, axis_size: Optional[int] = None) -> int:

@@ -51,7 +51,7 @@ def main():
         load_config,
     )
     from ddpm_tpu.data.transforms import to_uint8
-    from ddpm_tpu.parallel import make_mesh
+    from ddpm_tpu.parallel import addressable_rows, make_mesh
     from ddpm_tpu.train import TrainState, load_checkpoint, make_optimizer, make_sample_fn
 
     config_path = args.config_path or (
@@ -140,9 +140,12 @@ def main():
     with ThreadPoolExecutor(max_workers=args.max_workers) as pool:
         for i in range(num_batches):
             key, sub = jax.random.split(key)
-            x = np.asarray(sample_fn(state, sub))
+            x = sample_fn(state, sub)
             n = min(args.batch_size, args.total_size - written)
-            list(pool.map(save_png, to_uint8(x[:n])))
+            # multi-host: each process writes only the rows its devices own
+            # (rank-sharded generation, reference generate.py:105-110)
+            local = addressable_rows(x, n)
+            list(pool.map(save_png, to_uint8(local)))
             written += n
             print(f"{written}/{args.total_size}", flush=True)
     print(f"wrote {written} PNGs to {save_dir}")

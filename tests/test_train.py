@@ -208,3 +208,46 @@ def test_checkpoint_ema_mismatch_and_epoch_path(tmp_path):
     p0 = jax.tree.leaves(restored.params)[0]
     e0 = jax.tree.leaves(restored.ema_params)[0]
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(e0))
+
+
+def test_sharded_training_matches_single_device(eight_devices):
+    """3 training steps on an 8-device data-parallel mesh must produce the
+    same losses and parameters as the identical run on a 1-device mesh —
+    the SPMD partitioning is an implementation detail, not a semantics
+    change (DDP gradient-averaging equivalence, utils/train.py:148-165)."""
+    from ddpm_tpu.parallel import make_mesh, shard_batch
+
+    def run(n_dev):
+        model, diffusion, state = make_toy_setup()
+        mesh = make_mesh(jax.devices()[:n_dev])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        step = make_train_step(model.apply, diffusion, mesh=mesh)
+        key = jax.random.key(42)
+        x = jax.random.normal(jax.random.fold_in(key, 99), (16, 2))
+        losses = []
+        for i in range(3):
+            batch = shard_batch(x, mesh)
+            state, loss = step(state, batch, jax.random.fold_in(key, i))
+            losses.append(float(loss))
+        return losses, jax.tree.leaves(state.params)
+
+    l1, p1 = run(1)
+    l8, p8 = run(8)
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_addressable_rows_sharded(eight_devices):
+    """addressable_rows returns the global rows (< limit) this host owns —
+    on a single host over an 8-device mesh that is exactly np[:limit]."""
+    from ddpm_tpu.parallel import addressable_rows, make_mesh, shard_batch
+
+    mesh = make_mesh()
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    g = shard_batch(jnp.asarray(x), mesh)
+    np.testing.assert_array_equal(addressable_rows(g), x)
+    np.testing.assert_array_equal(addressable_rows(g, 10), x[:10])
+    assert addressable_rows(g, 0).shape == (0, 3)
