@@ -3,6 +3,7 @@ from .mesh import (
     batch_sharding,
     init_distributed,
     addressable_rows,
+    to_numpy_global,
     local_batch_slice,
     make_mesh,
     replicated_sharding,
@@ -16,6 +17,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "addressable_rows",
+    "to_numpy_global",
     "local_batch_slice",
     "init_distributed",
 ]

@@ -24,6 +24,7 @@ __all__ = [
     "shard_batch",
     "local_batch_slice",
     "addressable_rows",
+    "to_numpy_global",
     "init_distributed",
 ]
 
@@ -85,6 +86,18 @@ def addressable_rows(x, limit: Optional[int] = None) -> np.ndarray:
         return np.empty((0,) + x.shape[1:], x.dtype)
     out.sort(key=lambda t: t[0])
     return np.concatenate([d for _, d in out])
+
+
+def to_numpy_global(x) -> np.ndarray:
+    """Materialize a (possibly multi-host-sharded) global array on every
+    host. Fully-addressable arrays convert directly; otherwise the shards
+    ride an all-gather (replaces the reference's dist.all_gather sample
+    assembly, ddpm_torch/utils/train.py:183-187)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def local_batch_slice(global_batch: int, axis_size: Optional[int] = None) -> int:

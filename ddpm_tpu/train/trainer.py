@@ -28,7 +28,7 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding, to_numpy_global
 from ..utils import RunningStatistics
 from ..utils.images import save_image_grid
 from .checkpoint import load_checkpoint, save_checkpoint
@@ -106,7 +106,7 @@ class Trainer:
     def sample(self, key=None):
         assert self.sample_fn is not None
         key = key if key is not None else jax.random.key(131071)
-        return np.asarray(self.sample_fn(self.state, key))
+        return to_numpy_global(self.sample_fn(self.state, key))
 
     def load_checkpoint(self, chkpt_dir: str, epoch: Optional[int] = None):
         self.state, self.start_epoch = load_checkpoint(self.state, chkpt_dir, epoch)
@@ -185,6 +185,6 @@ class Trainer:
                     mesh=self.mesh,
                 )
                 self._eval_samplers[n] = sampler
-            return np.asarray(sampler(self.state, key))
+            return to_numpy_global(sampler(self.state, key))
 
         return fn
