@@ -34,7 +34,14 @@ def resolve_checkpoint(path: str) -> Tuple[str, Optional[int]]:
     """
     path = os.path.abspath(path)
     base = os.path.basename(os.path.normpath(path))
-    if base.isdigit() and os.path.isdir(path):
+    # an epoch directory is a digit-named dir that actually holds an orbax
+    # artifact — a digit-named RUN dir (e.g. --exp-name 128) contains epoch
+    # subdirs instead and must resolve to (itself, None)
+    is_orbax = os.path.isdir(path) and any(
+        os.path.exists(os.path.join(path, marker))
+        for marker in ("_CHECKPOINT_METADATA", "manifest.ocdbt", "_METADATA")
+    )
+    if base.isdigit() and is_orbax:
         return os.path.dirname(os.path.normpath(path)), int(base)
     return path, None
 
@@ -99,7 +106,13 @@ def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple
     if "ema_params" in template and "ema_params" not in saved_keys:
         template.pop("ema_params")
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-    restored = _checkpointer().restore(path, item=abstract)
+    # the reverse mismatch (checkpoint saved WITH ema, template without)
+    # needs a partial restore — the extra saved subtree is simply skipped
+    extra_saved = saved_keys - set(template.keys())
+    if extra_saved:
+        restored = _checkpointer().restore(path, item=abstract, partial_restore=True)
+    else:
+        restored = _checkpointer().restore(path, item=abstract)
     ema = restored.get("ema_params")
     if ema is None and state.ema_params is not None:
         ema = jax.tree.map(np.copy, restored["params"])

@@ -44,10 +44,9 @@ def _rbg_key(key: jax.Array) -> jax.Array:
     ms/step). Dropout needs no reproducibility-across-backends guarantee,
     so the weaker-but-fast generator is the right trade.
     """
-    data = jax.random.key_data(key)  # (2,) uint32 for threefry
-    return jax.random.wrap_key_data(
-        jnp.concatenate([data, data]), impl="unsafe_rbg"
-    )
+    data = jax.random.key_data(key).ravel()  # (2,) for threefry, (4,) for rbg
+    reps = -(-4 // data.shape[0])  # impl-agnostic: tile to >= 4 words
+    return jax.random.wrap_key_data(jnp.tile(data, reps)[:4], impl="unsafe_rbg")
 
 
 def make_train_step(

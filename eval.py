@@ -112,7 +112,13 @@ def main():
         print(f"fid: {results['fid']:.4f}", flush=True)
 
     if "pr" in args.metrics:
-        manifold_path = os.path.join(args.precomputed_dir, f"pr_manifold_{args.dataset}.npz")
+        # cache key must encode the embedding: a manifold built with
+        # Inception features (VGG weights absent) must not be reused once
+        # the VGG weights appear, and vice versa
+        emb = "vgg" if os.path.exists(VGG_WEIGHTS) else "inception"
+        manifold_path = os.path.join(
+            args.precomputed_dir, f"pr_manifold_{args.dataset}_{emb}.npz"
+        )
         kw = dict(
             nhood_size=args.nhood_size,
             row_batch_size=args.row_batch_size,

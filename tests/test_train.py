@@ -251,3 +251,43 @@ def test_addressable_rows_sharded(eight_devices):
     np.testing.assert_array_equal(addressable_rows(g), x)
     np.testing.assert_array_equal(addressable_rows(g, 10), x[:10])
     assert addressable_rows(g, 0).shape == (0, 3)
+
+
+def test_checkpoint_reverse_ema_mismatch(tmp_path):
+    """A checkpoint saved WITH EMA must load into a state WITHOUT EMA (the
+    extra saved subtree is skipped via partial restore)."""
+    from ddpm_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model, diffusion, state_ema = make_toy_setup()
+    assert state_ema.ema_params is not None
+    save_checkpoint(state_ema, str(tmp_path), 2)
+
+    _, _, template = make_toy_setup()
+    template = template.replace(ema_params=None)
+    restored, epoch = load_checkpoint(template, str(tmp_path))
+    assert epoch == 2 and restored.ema_params is None
+
+
+def test_resolve_checkpoint_digit_named_run_dir(tmp_path):
+    """A digit-named RUN directory (e.g. --exp-name 128) must not be
+    mistaken for an epoch directory."""
+    from ddpm_tpu.train.checkpoint import resolve_checkpoint, save_checkpoint
+
+    model, diffusion, state = make_toy_setup()
+    run = tmp_path / "128"
+    run.mkdir()
+    save_checkpoint(state, str(run), 5)
+    # the run dir itself -> (run, None); the epoch dir inside -> (run, 5)
+    assert resolve_checkpoint(str(run)) == (str(run), None)
+    assert resolve_checkpoint(str(run / "5")) == (str(run), 5)
+
+
+def test_rbg_key_wrap_impl_agnostic():
+    from ddpm_tpu.train.step import _rbg_key
+
+    for impl in ("threefry2x32", "rbg", "unsafe_rbg"):
+        k = jax.random.key(7, impl=impl)
+        rk = _rbg_key(k)
+        assert jax.random.key_data(rk).shape == (4,)
+        # usable: draws bits without error
+        jax.random.bernoulli(rk, 0.5, (4,))
