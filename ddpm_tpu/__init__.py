@@ -20,7 +20,9 @@ from .diffusion.toy import ToyGaussianDiffusion
 from .math import get_beta_schedule
 from .models import Decoder, UNet
 from .parallel import make_mesh, shard_batch
+from .metrics import Evaluator
 from .train import TrainState, make_optimizer, make_sample_fn, make_train_step
+from .train.trainer import Trainer
 from .utils import ConfigDict, RunningStatistics, dict2str, get_param, load_config, seed_all
 
 __version__ = "0.1.0"
@@ -38,6 +40,8 @@ __all__ = [
     "DATASET_DICT",
     "DATASET_INFO",
     "get_dataloader",
+    "Trainer",
+    "Evaluator",
     "TrainState",
     "make_optimizer",
     "make_train_step",

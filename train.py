@@ -252,7 +252,10 @@ def train(args):
             root=os.path.expanduser(args.root),
         )
 
-    if args.resume or args.chkpt_path:
+    # under multi-process SPMD, force resume so elastically-restarted workers
+    # reload the last checkpoint (reference train.py:215-224)
+    resume = args.resume or jax.process_count() > 1
+    if resume or args.chkpt_path:
         try:
             trainer.load_checkpoint(args.chkpt_path or chkpt_dir)
         except FileNotFoundError:
