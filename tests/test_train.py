@@ -291,3 +291,53 @@ def test_rbg_key_wrap_impl_agnostic():
         assert jax.random.key_data(rk).shape == (4,)
         # usable: draws bits without error
         jax.random.bernoulli(rk, 0.5, (4,))
+
+
+def test_kl_loss_training_step():
+    """VLB ('kl') loss trains: finite, positive, decreasing-ish over steps
+    (reference diffusion.py:203-215 term; t=0 decoder NLL included)."""
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.models import UNet
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 10)
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-small", "kl")
+    model = UNet(in_channels=3, hid_channels=32, out_channels=3,
+                 ch_multipliers=(1, 2), num_res_blocks=1,
+                 apply_attn=(False, False), drop_rate=0.0)
+    x = jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5
+    t = jnp.zeros((4,), jnp.int32)
+    params = model.init(jax.random.key(1), x, t)["params"]
+    tx = make_optimizer(lr=1e-3, grad_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model.apply, diffusion)
+    key = jax.random.key(2)
+    losses = []
+    for i in range(4):
+        state, loss = step(state, jnp.clip(x, -1, 1), jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) and l > 0 for l in losses), losses
+
+
+def test_learned_variance_training_step():
+    """'learned' model_var_type: the model emits 2C channels (mean-param +
+    logvar, reference diffusion.py:112) and trains under the kl loss."""
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.models import UNet
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 10)
+    diffusion = GaussianDiffusion.create(betas, "eps", "learned", "kl")
+    model = UNet(in_channels=3, hid_channels=32, out_channels=6,
+                 ch_multipliers=(1, 2), num_res_blocks=1,
+                 apply_attn=(False, False), drop_rate=0.0)
+    x = jnp.clip(jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5, -1, 1)
+    t = jnp.zeros((4,), jnp.int32)
+    params = model.init(jax.random.key(1), x, t)["params"]
+    tx = make_optimizer(lr=1e-3, grad_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model.apply, diffusion)
+    state, loss = step(state, x, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    # sampling with learned variance also runs
+    fn = make_sample_fn(model.apply, diffusion, (4, 8, 8, 3), use_ema=False)
+    y = fn(state, jax.random.key(3))
+    assert np.isfinite(np.asarray(y)).all()
