@@ -36,7 +36,7 @@ from ..nn.modules import (
 from ..ops.attention import spatial_attention
 from ..ops.resample import avg_pool_2x, depth_to_space, space_to_depth, upsample_nearest_2x
 
-__all__ = ["UNet", "ResidualBlock", "AttentionBlock"]
+__all__ = ["UNet", "ResidualBlock", "AttentionBlock", "ModelWrapper"]
 
 ZERO_INIT = variance_scaling_init(0.0)
 
@@ -270,3 +270,23 @@ class UNet(nn.Module):
         if self.block_size > 1:
             h = depth_to_space(h, self.block_size)
         return h.astype(jnp.float32)
+
+
+def ModelWrapper(apply_fn, block_size: int):
+    """Pre/post pixel-shuffle wrapper around an arbitrary denoise apply.
+
+    API-parity shim for the reference's ModelWrapper
+    (ddpm_torch/utils/train.py:349-367), which wraps any model with
+    PixelUnshuffle/PixelShuffle. The native path here folds the trick into
+    the UNet itself (``UNet(block_size=...)``) so the space-to-depth ops
+    fuse into the jitted program; use this wrapper only to adapt an
+    external model that doesn't take ``block_size``.
+    """
+    if block_size <= 1:
+        return apply_fn
+
+    def wrapped(variables, x, t, **kwargs):
+        y = apply_fn(variables, space_to_depth(x, block_size), t, **kwargs)
+        return depth_to_space(y, block_size)
+
+    return wrapped

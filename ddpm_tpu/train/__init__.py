@@ -1,5 +1,5 @@
-from .checkpoint import latest_epoch, load_checkpoint, save_checkpoint
-from .state import TrainState, make_optimizer, warmup_schedule
+from .checkpoint import latest_epoch, load_checkpoint, resolve_checkpoint, save_checkpoint
+from .state import DummyScheduler, TrainState, make_optimizer, warmup_schedule
 from .step import draw_input, make_sample_fn, make_train_step
 
 __all__ = [
@@ -12,4 +12,6 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "latest_epoch",
+    "resolve_checkpoint",
+    "DummyScheduler",
 ]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-__all__ = ["TrainState", "make_optimizer", "warmup_schedule"]
+__all__ = ["TrainState", "make_optimizer", "warmup_schedule", "DummyScheduler"]
 
 
 def warmup_schedule(base_lr: float, warmup: int) -> optax.Schedule:
@@ -144,3 +144,23 @@ class TrainState:
             return state.replace(grad_accum=acc, accum_step=state.accum_step + 1)
 
         return jax.lax.cond(is_update, do_update, do_buffer, (self, acc))
+
+
+class DummyScheduler:
+    """No-op LR scheduler stand-in for API parity with the reference
+    (ddpm_torch/utils/train.py:16-26). In this framework the learning-rate
+    schedule is a pure function of ``TrainState.step`` baked into the optax
+    chain (``warmup_schedule``), so there is nothing to step — this class
+    exists so reference-style orchestration code ports cleanly."""
+
+    def init(self, *a, **k):
+        return None
+
+    def step(self, *a, **k):
+        return None
+
+    def state_dict(self):
+        return {}
+
+    def load_state_dict(self, _):
+        return None
