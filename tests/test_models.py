@@ -182,3 +182,33 @@ def test_dummy_scheduler_api():
     s.step()
     assert s.state_dict() == {}
     s.load_state_dict({})
+
+
+def test_groupnorm32_matches_flax_groupnorm():
+    """The affine-rearranged GroupNorm32 must match nn.GroupNorm exactly
+    (same mean/E[x^2] variance, same eps placement) in f32."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddpm_tpu.nn.modules import GroupNorm32
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 8, 8, 64)) * 3.0 + 1.0
+    gamma = jax.random.normal(jax.random.fold_in(key, 1), (64,)) * 0.2 + 1.0
+    beta = jax.random.normal(jax.random.fold_in(key, 2), (64,)) * 0.1
+
+    ref = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32).apply(
+        {"params": {"scale": gamma, "bias": beta}}, x
+    )
+    got = GroupNorm32(num_groups=32).apply(
+        {"params": {"GroupNorm_0": {"scale": gamma, "bias": beta}}}, x
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # with_silu folds the activation
+    got_silu = GroupNorm32(num_groups=32, with_silu=True).apply(
+        {"params": {"GroupNorm_0": {"scale": gamma, "bias": beta}}}, x
+    )
+    np.testing.assert_allclose(np.asarray(got_silu), np.asarray(nn.silu(ref)), atol=2e-5)
