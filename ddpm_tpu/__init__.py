@@ -20,9 +20,18 @@ from .diffusion.toy import ToyGaussianDiffusion
 from .math import get_beta_schedule
 from .models import Decoder, UNet
 from .parallel import make_mesh, shard_batch
-from .metrics import Evaluator
 from .train import TrainState, make_optimizer, make_sample_fn, make_train_step
 from .train.trainer import Trainer
+
+
+def __getattr__(name):
+    # Evaluator pulls in the whole metrics stack (inception/vgg/scipy);
+    # export it lazily so plain training runs don't pay the import.
+    if name == "Evaluator":
+        from .metrics import Evaluator
+
+        return Evaluator
+    raise AttributeError(name)
 from .utils import ConfigDict, RunningStatistics, dict2str, get_param, load_config, seed_all
 
 __version__ = "0.1.0"

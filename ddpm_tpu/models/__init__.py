@@ -1,4 +1,11 @@
 from .toy_mlp import Decoder, TemporalLayer
-from .unet import AttentionBlock, ResidualBlock, UNet
+from .unet import AttentionBlock, ModelWrapper, ResidualBlock, UNet
 
-__all__ = ["UNet", "ResidualBlock", "AttentionBlock", "Decoder", "TemporalLayer"]
+__all__ = [
+    "UNet",
+    "ResidualBlock",
+    "AttentionBlock",
+    "ModelWrapper",
+    "Decoder",
+    "TemporalLayer",
+]

@@ -132,13 +132,22 @@ class GroupNorm32(nn.Module):
         scale, bias = _GNParams(C, name="GroupNorm_0")()
         xf = x.astype(jnp.float32).reshape(B, H * W, G, cg)
         mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - mu * mu
+        # clamp: E[x^2] - mu^2 can round negative under f32 cancellation for
+        # near-constant large-magnitude groups (flax clamps the same way)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - mu * mu, 0.0
+        )
         rs = jax.lax.rsqrt(var + self.epsilon)
         sg = scale.reshape(1, 1, G, cg)
         a = rs * sg
         b = bias.reshape(1, 1, G, cg) - mu * a
         y = (xf * a + b).reshape(B, H, W, C).astype(self.dtype)
         if self.with_silu:
+            # SiLU in the compute dtype: applying it in f32 before the cast
+            # costs ~6% of the whole train step (XLA materializes the f32
+            # activation for the backward). The fused Pallas path applies
+            # SiLU in f32 in-register at no cost, so the two paths differ by
+            # one bf16 rounding; parity in f32 is exact either way.
             y = nn.silu(y)
         if drop > 0.0:
             y = nn.Dropout(self.drop_rate, deterministic=False)(y)

@@ -71,7 +71,8 @@ def _stats(x, a_ref, inv_m):
         s2, a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m_g = gs1 * inv_m
-    v_g = gs2 * inv_m - m_g * m_g
+    # clamp f32 cancellation (E[x^2] - mu^2 can round negative)
+    v_g = jnp.maximum(gs2 * inv_m - m_g * m_g, 0.0)
     # back to per-channel layout: contract over the G axis of (C, G)
     mu_c = jax.lax.dot_general(
         m_g, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -205,7 +206,7 @@ def group_norm_silu_reference(
     cg = C // num_groups
     xf = x.astype(jnp.float32).reshape(B, N, num_groups, cg)
     mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)  # >= 0 by construction
     xhat = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(B, N, C)
     z = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     if silu:

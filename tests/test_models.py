@@ -212,3 +212,24 @@ def test_groupnorm32_matches_flax_groupnorm():
         {"params": {"GroupNorm_0": {"scale": gamma, "bias": beta}}}, x
     )
     np.testing.assert_allclose(np.asarray(got_silu), np.asarray(nn.silu(ref)), atol=2e-5)
+
+
+def test_groupnorm32_no_nan_on_constant_large_groups():
+    """Regression: E[x^2] - mu^2 rounding negative under f32 cancellation
+    must not produce NaN (flax clamps variance at 0; so do we)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddpm_tpu.nn.modules import GroupNorm32
+    from ddpm_tpu.ops.pallas.group_norm import fused_group_norm_silu
+
+    x = 100.0 + 1e-4 * jax.random.normal(jax.random.key(0), (2, 8, 8, 64))
+    y = GroupNorm32(num_groups=32).apply(
+        {"params": {"GroupNorm_0": {"scale": jnp.ones(64), "bias": jnp.zeros(64)}}}, x
+    )
+    assert np.isfinite(np.asarray(y)).all()
+    yk = fused_group_norm_silu(
+        x.reshape(2, 64, 64), jnp.ones(64), jnp.zeros(64), 32, 1e-6, False, True
+    )
+    assert np.isfinite(np.asarray(yk)).all()

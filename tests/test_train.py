@@ -294,7 +294,7 @@ def test_rbg_key_wrap_impl_agnostic():
 
 
 def test_kl_loss_training_step():
-    """VLB ('kl') loss trains: finite, positive, decreasing-ish over steps
+    """VLB ('kl') loss trains: every step's loss is finite and positive
     (reference diffusion.py:203-215 term; t=0 decoder NLL included)."""
     from ddpm_tpu.diffusion import GaussianDiffusion
     from ddpm_tpu.models import UNet
@@ -305,8 +305,7 @@ def test_kl_loss_training_step():
                  ch_multipliers=(1, 2), num_res_blocks=1,
                  apply_attn=(False, False), drop_rate=0.0)
     x = jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5
-    t = jnp.zeros((4,), jnp.int32)
-    params = model.init(jax.random.key(1), x, t)["params"]
+    params = model.init(jax.random.key(1), x, jnp.zeros((4,), jnp.int32))["params"]
     tx = make_optimizer(lr=1e-3, grad_norm=1.0)
     state = TrainState.create(params, tx)
     step = make_train_step(model.apply, diffusion)
@@ -330,8 +329,7 @@ def test_learned_variance_training_step():
                  ch_multipliers=(1, 2), num_res_blocks=1,
                  apply_attn=(False, False), drop_rate=0.0)
     x = jnp.clip(jax.random.normal(jax.random.key(0), (4, 8, 8, 3)) * 0.5, -1, 1)
-    t = jnp.zeros((4,), jnp.int32)
-    params = model.init(jax.random.key(1), x, t)["params"]
+    params = model.init(jax.random.key(1), x, jnp.zeros((4,), jnp.int32))["params"]
     tx = make_optimizer(lr=1e-3, grad_norm=1.0)
     state = TrainState.create(params, tx)
     step = make_train_step(model.apply, diffusion)
