@@ -53,7 +53,11 @@ class ShardedLoader:
         shard_index: int = 0,
         indices: Optional[np.ndarray] = None,
         raw: bool = False,
+        device_normalize: bool = False,
     ):
+        """``device_normalize``: yield uint8 batches (flips still applied
+        host-side) and let the jitted train step do the [-1,1] normalize —
+        4x less host->device transfer, which matters on tunneled TPUs."""
         if batch_size % num_shards != 0:
             raise ValueError(f"batch {batch_size} not divisible by {num_shards} shards")
         self.dataset = dataset
@@ -68,6 +72,7 @@ class ShardedLoader:
             np.asarray(indices) if indices is not None else np.arange(len(dataset))
         )
         self.raw = raw
+        self.device_normalize = device_normalize
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -105,6 +110,7 @@ class ShardedLoader:
 
         use_native = (
             not self.raw
+            and not self.device_normalize
             and native.available()
             and hasattr(self.dataset, "images")
             and getattr(self.dataset.images, "flags", None) is not None
@@ -128,6 +134,9 @@ class ShardedLoader:
                 continue
             if do_flip:
                 batch = random_hflip(batch, rng)
+            if self.device_normalize:
+                yield batch  # uint8; the train step normalizes on device
+                continue
             yield normalize_to_unit(batch)
 
 
@@ -142,6 +151,7 @@ def get_dataloader(
     num_shards: int = 1,
     shard_index: int = 0,
     raw: bool = False,
+    device_normalize: bool = False,
     **kwargs,
 ):
     """Factory mirroring the reference's get_dataloader contract
@@ -167,5 +177,6 @@ def get_dataloader(
         shard_index=shard_index,
         indices=indices,
         raw=raw,
+        device_normalize=device_normalize,
     )
     return loader, loader

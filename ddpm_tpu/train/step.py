@@ -78,6 +78,10 @@ def make_train_step(
         return losses.mean()
 
     def step(state: TrainState, x_0: jnp.ndarray, key: jax.Array):
+        if x_0.dtype == jnp.uint8:
+            # on-device normalize: loaders may ship raw uint8 (4x less
+            # host->device transfer); same formula as transforms.py
+            x_0 = x_0.astype(jnp.float32) / 127.5 - 1.0
         input_key, dropout_key = jax.random.split(key)
         if has_dropout and rbg_dropout:
             dropout_key = _rbg_key(dropout_key)

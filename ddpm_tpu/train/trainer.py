@@ -130,8 +130,7 @@ class Trainer:
             t0 = time.time()
             losses = []  # async device scalars; synced once per epoch
             n_examples = 0
-            for batch in self.trainloader:
-                batch = jax.device_put(batch, self._batch_sharding)
+            for batch in self._prefetched():
                 self.key, sub = jax.random.split(self.key)
                 self.state, loss = self.train_step(self.state, batch, sub)
                 losses.append(loss)
@@ -165,6 +164,24 @@ class Trainer:
                 if self.is_leader:
                     save_checkpoint(self.state, chkpt_dir, epoch + 1, extra)
                     self.logger(f"checkpoint saved @ epoch {epoch + 1}")
+
+    def _prefetched(self):
+        """Iterate the trainloader with a one-batch device lookahead.
+
+        The host->device transfer of batch k+1 overlaps step k's execution
+        (the reference gets this from DataLoader worker processes +
+        pinned-memory copies; here one slot is enough because dispatch is
+        already asynchronous).
+        """
+        it = iter(self.trainloader)
+        pending = None
+        for batch in it:
+            staged = jax.device_put(batch, self._batch_sharding)
+            if pending is not None:
+                yield pending
+            pending = staged
+        if pending is not None:
+            yield pending
 
     def sample_fn_for_eval(self):
         """Adapter handing the in-loop evaluator a ``fn(n, key)``.

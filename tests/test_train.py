@@ -339,3 +339,39 @@ def test_learned_variance_training_step():
     fn = make_sample_fn(model.apply, diffusion, (4, 8, 8, 3), use_ema=False)
     y = fn(state, jax.random.key(3))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_uint8_batch_matches_normalized_float_batch():
+    """device_normalize path: a uint8 batch through the train step produces
+    the identical loss as the pre-normalized float batch (same formula,
+    u8/127.5 - 1, applied on device)."""
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.models import UNet
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 10)
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-large", "mse")
+    model = UNet(in_channels=3, hid_channels=32, out_channels=3,
+                 ch_multipliers=(1, 2), num_res_blocks=1,
+                 apply_attn=(False, False), drop_rate=0.0)
+    u8 = np.random.RandomState(0).randint(0, 256, (8, 8, 8, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    params = model.init(jax.random.key(1), jnp.asarray(f32), jnp.zeros((8,), jnp.int32))["params"]
+    tx = make_optimizer(lr=1e-3)
+
+    def one_step(batch):
+        # fresh param copies per call: the fused step donates its state
+        state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        step = make_train_step(model.apply, diffusion)
+        _, loss = step(state, jnp.asarray(batch), jax.random.key(5))
+        return float(loss)
+
+    assert one_step(u8) == one_step(f32)
+
+    # loader yields uint8 when asked, with flips applied host-side
+    loader, _ = get_dataloader(
+        "fakedata", 8, split="train", resolution=8, num_examples=16,
+        device_normalize=True,
+    )
+    b = next(iter(loader))
+    assert b.dtype == np.uint8

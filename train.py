@@ -173,6 +173,9 @@ def train(args):
         drop_last=True,
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
+        # ship uint8 and normalize inside the jitted step: 4x less
+        # host->device transfer per batch
+        device_normalize=True,
     )
 
     x = jnp.zeros((1, res, res, channels), jnp.float32)
