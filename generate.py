@@ -39,6 +39,12 @@ def main():
     parser.add_argument("--max-workers", default=8, type=int)
     parser.add_argument("--seed", default=1234, type=int)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument(
+        "--progressive", action="store_true",
+        help="also save pred_x0 snapshot grids every --pred-freq steps "
+        "(denoise-animation frames; reference diffusion.py:176-198)",
+    )
+    parser.add_argument("--pred-freq", default=50, type=int)
     args = parser.parse_args()
 
     from ddpm_tpu import (
@@ -133,6 +139,35 @@ def main():
     def save_png(img_u8):
         im = Image.fromarray(img_u8.squeeze(-1) if img_u8.shape[-1] == 1 else img_u8)
         im.save(os.path.join(save_dir, f"{uuid.uuid4()}.png"))
+
+    if args.progressive:
+        # one jitted progressive chain; saves a grid per pred_x0 snapshot
+        from ddpm_tpu.utils.images import save_image_grid
+
+        def prog(state, key):
+            params = (
+                state.ema_params
+                if (args.use_ema and state.ema_params is not None)
+                else state.params
+            )
+
+            def denoise(x_t, t):
+                return model.apply({"params": params}, x_t, t, train=False)
+
+            return diffusion.p_sample_progressive(
+                denoise, (args.batch_size, res, res, channels), key,
+                pred_freq=args.pred_freq,
+            )
+
+        x0, preds = jax.jit(prog)(state, jax.random.key(args.seed))
+        frames_dir = os.path.join(save_dir, "progressive")
+        os.makedirs(frames_dir, exist_ok=True)
+        preds = np.asarray(preds)  # (L, B, H, W, C), noisiest first
+        for i, frame in enumerate(preds):
+            save_image_grid(os.path.join(frames_dir, f"frame_{i:04d}.png"), frame)
+        save_image_grid(os.path.join(frames_dir, "final.png"), np.asarray(x0))
+        print(f"wrote {len(preds)} progressive frames to {frames_dir}")
+        return
 
     key = jax.random.key(args.seed)
     num_batches = math.ceil(args.total_size / args.batch_size)
