@@ -147,7 +147,7 @@ def test_trainer_in_loop_eval_and_checkpoint(tmp_path):
     state = TrainState.create(params, tx, ema_decay=0.999)
 
     loader, _ = get_dataloader(
-        "fakedata", batch_size=8, split="train", resolution=8, num_examples=16
+        "fakedata", batch_size=8, split="train", resolution=8, size=16
     )
     trainer = Trainer(
         model=model,
@@ -370,8 +370,46 @@ def test_uint8_batch_matches_normalized_float_batch():
 
     # loader yields uint8 when asked, with flips applied host-side
     loader, _ = get_dataloader(
-        "fakedata", 8, split="train", resolution=8, num_examples=16,
+        "fakedata", 8, split="train", resolution=8, size=16,
         device_normalize=True,
     )
     b = next(iter(loader))
     assert b.dtype == np.uint8
+
+
+def test_trainer_prefetch_preserves_order_and_dry_run(tmp_path):
+    """The one-slot prefetch must yield every batch exactly once, in order,
+    and dry_run must still stop after the first optimizer update."""
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.models import UNet
+    from ddpm_tpu.train.trainer import Trainer
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 5)
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-large", "mse")
+    model = UNet(in_channels=3, hid_channels=32, out_channels=3,
+                 ch_multipliers=(1, 2), num_res_blocks=1,
+                 apply_attn=(False, False), drop_rate=0.0)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((2, 8, 8, 3)), jnp.zeros((2,), jnp.int32)
+    )["params"]
+    state = TrainState.create(params, make_optimizer(lr=1e-3))
+    loader, _ = get_dataloader(
+        "fakedata", 8, split="train", resolution=8, size=24,
+        device_normalize=True,
+    )
+    trainer = Trainer(
+        model=model, diffusion=diffusion, state=state, trainloader=loader,
+        epochs=1, sample_shape=None, logger=lambda *_: None,
+    )
+    # prefetch yields all batches, in loader order
+    loader.set_epoch(0)
+    want = [np.asarray(b) for b in loader]
+    got = [np.asarray(b) for b in trainer._prefetched()]
+    assert len(got) == len(want) == 3
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    # dry_run: exactly one optimizer update
+    trainer.dry_run = True
+    trainer.train()
+    assert int(trainer.state.step) == 1
