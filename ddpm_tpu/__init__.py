@@ -18,7 +18,7 @@ from .diffusion import (
 )
 from .diffusion.toy import ToyGaussianDiffusion
 from .math import get_beta_schedule
-from .models import Decoder, UNet
+from .models import Decoder, UNet, build_unet
 from .parallel import make_mesh, shard_batch
 from .train import TrainState, make_optimizer, make_sample_fn, make_train_step
 from .train.trainer import Trainer
@@ -32,7 +32,7 @@ def __getattr__(name):
 
         return Evaluator
     raise AttributeError(name)
-from .utils import ConfigDict, RunningStatistics, dict2str, get_param, load_config, seed_all
+from .utils import ConfigDict, RunningStatistics, dict2str, get_param, load_config, resolve_config, seed_all
 
 __version__ = "0.1.0"
 
@@ -45,6 +45,7 @@ __all__ = [
     "ddim_from_ddpm",
     "get_selection_schedule",
     "UNet",
+    "build_unet",
     "Decoder",
     "DATASET_DICT",
     "DATASET_INFO",
@@ -62,5 +63,6 @@ __all__ = [
     "ConfigDict",
     "dict2str",
     "load_config",
+    "resolve_config",
     "RunningStatistics",
 ]

@@ -290,3 +290,35 @@ def ModelWrapper(apply_fn, block_size: int):
         return depth_to_space(y, block_size)
 
     return wrapped
+
+
+def build_unet(
+    model_cfg,
+    channels: int,
+    *,
+    dtype=jnp.float32,
+    block_size: int = 1,
+    remat: bool = False,
+) -> UNet:
+    """Build a UNet from a config 'model' section plus dataset channel count.
+
+    Mirrors the reference's ``UNet(**config["model"])`` (train.py:64-68) with
+    CLI fallbacks for datasets that run configless; shared by train.py and
+    generate.py so the two can never drift.
+    """
+    model_cfg = model_cfg or {}
+    apply_attn = model_cfg.get("apply_attn", (False, True, False, False))
+    if isinstance(apply_attn, list):
+        apply_attn = tuple(apply_attn)
+    return UNet(
+        in_channels=model_cfg.get("in_channels", channels),
+        hid_channels=model_cfg.get("hid_channels", 128),
+        out_channels=model_cfg.get("out_channels", channels),
+        ch_multipliers=tuple(model_cfg.get("ch_multipliers", (1, 2, 2, 2))),
+        num_res_blocks=model_cfg.get("num_res_blocks", 2),
+        apply_attn=apply_attn,
+        drop_rate=model_cfg.get("drop_rate", 0.0),
+        block_size=model_cfg.get("block_size", block_size) or 1,
+        dtype=dtype,
+        remat=bool(model_cfg.get("remat", remat)),
+    )

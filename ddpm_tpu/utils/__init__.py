@@ -6,13 +6,14 @@ import random
 
 import numpy as np
 
-from .config import CONFIG_DIR, ConfigDict, dict2str, get_param, load_config
+from .config import CONFIG_DIR, ConfigDict, dict2str, get_param, load_config, resolve_config
 
 __all__ = [
     "ConfigDict",
     "get_param",
     "dict2str",
     "load_config",
+    "resolve_config",
     "CONFIG_DIR",
     "seed_all",
     "RunningStatistics",

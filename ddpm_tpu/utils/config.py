@@ -8,9 +8,22 @@ import json
 import os
 from typing import Any, Mapping
 
-__all__ = ["ConfigDict", "get_param", "dict2str", "load_config", "CONFIG_DIR"]
+__all__ = [
+    "ConfigDict",
+    "get_param",
+    "dict2str",
+    "load_config",
+    "resolve_config",
+    "bundled_configs",
+    "CONFIG_DIR",
+    "CONFIGLESS_DATASETS",
+]
 
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+
+# Datasets the reference ships no config for either (reference configs/ holds
+# only cifar10/celeba/celebahq); these may run from CLI flags alone.
+CONFIGLESS_DATASETS = frozenset({"mnist", "fakedata"})
 
 
 class ConfigDict(dict):
@@ -47,13 +60,29 @@ def dict2str(d: Mapping[str, Any]) -> str:
     return ",".join(out)
 
 
+def bundled_configs() -> list[str]:
+    """Names of the configs shipped inside the package."""
+    if not os.path.isdir(CONFIG_DIR):
+        return []
+    return sorted(
+        f[: -len(".json")] for f in os.listdir(CONFIG_DIR) if f.endswith(".json")
+    )
+
+
 def load_config(path_or_name: str) -> ConfigDict:
-    """Load a JSON config by absolute path or bundled name (e.g. 'cifar10')."""
+    """Load a JSON config by absolute path or bundled name (e.g. 'cifar10').
+
+    Bundled names also resolve with underscores stripped so the registry
+    key 'celeba_hq' finds the reference-named file 'celebahq.json'
+    (reference: configs/celebahq.json vs datasets.py:17-19 name rule).
+    """
     path = path_or_name
     if not os.path.isfile(path):
-        cand = os.path.join(CONFIG_DIR, f"{path_or_name}.json")
-        if os.path.isfile(cand):
-            path = cand
+        for name in (path_or_name, path_or_name.replace("_", "")):
+            cand = os.path.join(CONFIG_DIR, f"{name}.json")
+            if os.path.isfile(cand):
+                path = cand
+                break
         else:
             raise FileNotFoundError(path_or_name)
     with open(path) as f:
@@ -65,3 +94,36 @@ def load_config(path_or_name: str) -> ConfigDict:
         return x
 
     return wrap(raw)
+
+
+def resolve_config(
+    dataset: str,
+    config_path: str | None = None,
+    config_dir: str | None = None,
+    logger=print,
+) -> ConfigDict | None:
+    """Resolve the run config for a CLI invocation, failing loudly on a miss.
+
+    The reference opens ``configs/<dataset>.json`` unconditionally
+    (train.py:24) so a missing config is a hard error there too. Datasets in
+    CONFIGLESS_DATASETS are allowed to run from CLI flags alone (with a
+    warning) since the reference ships no config for them either.
+    """
+    path = config_path or (
+        os.path.join(config_dir, f"{dataset}.json") if config_dir else dataset
+    )
+    try:
+        return load_config(path)
+    except FileNotFoundError:
+        if config_path or config_dir or dataset not in CONFIGLESS_DATASETS:
+            raise SystemExit(
+                f"error: no config found for {path!r} "
+                f"(bundled: {bundled_configs()}); pass --config-path, or use a "
+                f"configless dataset ({sorted(CONFIGLESS_DATASETS)}) to run "
+                "from CLI flags alone"
+            ) from None
+        logger(
+            f"warning: no bundled config for dataset {dataset!r}; "
+            "model/diffusion/train settings come from CLI flags"
+        )
+        return None

@@ -50,23 +50,17 @@ def main():
     from ddpm_tpu import (
         DATASET_INFO,
         GaussianDiffusion,
-        UNet,
+        build_unet,
         ddim_from_betas,
         get_beta_schedule,
         get_selection_schedule,
-        load_config,
+        resolve_config,
     )
     from ddpm_tpu.data.transforms import to_uint8
     from ddpm_tpu.parallel import addressable_rows, make_mesh
     from ddpm_tpu.train import TrainState, load_checkpoint, make_optimizer, make_sample_fn
 
-    config_path = args.config_path or (
-        os.path.join(args.config_dir, f"{args.dataset}.json") if args.config_dir else args.dataset
-    )
-    try:
-        config = load_config(config_path)
-    except FileNotFoundError:
-        config = None  # datasets without a bundled config use CLI defaults
+    config = resolve_config(args.dataset, args.config_path, args.config_dir)
     dataset = (config or {}).get("dataset", args.dataset)
     diff_cfg = (config or {}).get("diffusion") or {}
     model_cfg = (config or {}).get("model") or {}
@@ -101,19 +95,9 @@ def main():
 
     info = DATASET_INFO[dataset]
     res, channels = info["resolution"][0], info["channels"]
-    model = UNet(
-        in_channels=model_cfg.get("in_channels", channels),
-        hid_channels=model_cfg.get("hid_channels", 128),
-        out_channels=model_cfg.get("out_channels", channels),
-        ch_multipliers=tuple(model_cfg.get("ch_multipliers", (1, 2, 2, 2))),
-        num_res_blocks=model_cfg.get("num_res_blocks", 2),
-        apply_attn=(
-            tuple(model_cfg["apply_attn"])
-            if isinstance(model_cfg.get("apply_attn"), list)
-            else model_cfg.get("apply_attn", (False, True, False, False))
-        ),
-        drop_rate=model_cfg.get("drop_rate", 0.0),
-        block_size=model_cfg.get("block_size", 1) or 1,
+    model = build_unet(
+        model_cfg,
+        channels,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 

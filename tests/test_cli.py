@@ -1,0 +1,135 @@
+"""End-to-end CLI smoke tests: drive train.py / generate.py main() through
+argparse + config merge + trainer, the path no unit test covers (the round-1
+silent config fallback bug class lived exactly here).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import train as train_cli
+import generate as generate_cli
+
+
+TINY_CONFIG = {
+    "dataset": "fakedata",
+    "diffusion": {
+        "timesteps": 8,
+        "beta_start": 0.0001,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "model_mean_type": "eps",
+        "model_var_type": "fixed-large",
+        "loss_type": "mse",
+    },
+    "model": {
+        "in_channels": 3,
+        "hid_channels": 32,  # GroupNorm(32 groups) needs >=32 channels, as in the reference
+        "ch_multipliers": [1, 2],
+        "num_res_blocks": 1,
+        "apply_attn": [False, True],
+        "drop_rate": 0.1,
+    },
+    "train": {
+        "lr": 1e-3,
+        "batch_size": 64,
+        "grad_norm": 1.0,
+        "epochs": 1,
+        "warmup": 10,
+        "use_ema": True,
+        "ema_decay": 0.99,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_config_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cfg") / "tiny.json"
+    path.write_text(json.dumps(TINY_CONFIG))
+    return str(path)
+
+
+def run_main(cli, argv):
+    old = sys.argv
+    sys.argv = [old[0], *argv]
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+
+
+def test_train_dry_run(tiny_config_path, tmp_path, capsys):
+    run_main(
+        train_cli,
+        [
+            "--config-path", tiny_config_path,
+            "--dry-run",
+            "--num-samples", "8",
+            "--chkpt-dir", str(tmp_path / "c"),
+            "--image-dir", str(tmp_path / "i"),
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "dry run: stopping after first optimizer update" in out
+    # hyperparameter archive written (reference train.py:156-171)
+    exp_dir = tmp_path / "c" / "ddpm_fakedata"
+    infos = [f for f in os.listdir(exp_dir) if f.endswith(".info")]
+    assert infos, "exp_<ts>.info archive missing"
+    hps = json.loads((exp_dir / infos[0]).read_text())
+    assert hps["train"]["lr"] == 1e-3  # config won over the CLI default
+
+
+def test_train_then_generate_roundtrip(tiny_config_path, tmp_path, capsys):
+    chkpt_dir = str(tmp_path / "c")
+    run_main(
+        train_cli,
+        [
+            "--config-path", tiny_config_path,
+            "--num-samples", "8",
+            "--image-intv", "1",
+            "--chkpt-intv", "1",
+            "--chkpt-dir", chkpt_dir,
+            "--image-dir", str(tmp_path / "i"),
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "epoch 1/1" in out
+    assert "checkpoint saved @ epoch 1" in out
+
+    run_main(
+        generate_cli,
+        [
+            "--config-path", tiny_config_path,
+            "--chkpt-path", os.path.join(chkpt_dir, "ddpm_fakedata", "1"),
+            "--total-size", "12",
+            "--batch-size", "8",
+            "--use-ema",
+            "--save-dir", str(tmp_path / "g"),
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "wrote 12 PNGs" in out
+    pngs = [f for f in os.listdir(tmp_path / "g" / "fakedata") if f.endswith(".png")]
+    assert len(pngs) == 12
+
+
+def test_train_unknown_dataset_fails_loudly():
+    with pytest.raises(SystemExit, match="no config found"):
+        run_main(train_cli, ["--dataset", "nosuchdata"])
+
+
+def test_generate_missing_checkpoint_fails_fast(tmp_path, tiny_config_path):
+    with pytest.raises(SystemExit, match="no checkpoint found"):
+        run_main(
+            generate_cli,
+            [
+                "--config-path", tiny_config_path,
+                "--chkpt-dir", str(tmp_path / "nope"),
+                "--total-size", "4",
+            ],
+        )

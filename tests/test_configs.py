@@ -1,0 +1,86 @@
+"""Bundled dataset configs must match the reference's exact values
+(/root/reference/configs/{cifar10,celeba,celebahq}.json) and must be the
+values the CLIs actually build from — round 1 shipped none, so named
+datasets silently trained a CIFAR-shaped architecture.
+"""
+
+import pytest
+
+from ddpm_tpu import load_config, resolve_config
+from ddpm_tpu.models import build_unet
+from ddpm_tpu.utils.config import bundled_configs
+
+
+def test_bundled_config_names():
+    assert bundled_configs() == ["celeba", "celebahq", "cifar10"]
+
+
+def test_cifar10_config_values():
+    cfg = load_config("cifar10")
+    assert cfg.dataset == "cifar10"
+    assert cfg.diffusion.model_var_type == "fixed-large"
+    assert cfg.diffusion.timesteps == 1000
+    assert cfg.model.ch_multipliers == [1, 2, 2, 2]
+    assert cfg.model.apply_attn == [False, True, False, False]
+    assert cfg.model.drop_rate == 0.1
+    assert cfg.train.lr == 2e-4
+    assert cfg.train.batch_size == 128
+    assert cfg.train.epochs == 2040
+    assert cfg.train.warmup == 5000
+    assert cfg.train.use_ema is True
+    assert cfg.train.ema_decay == 0.9999
+
+
+def test_celeba_config_values():
+    cfg = load_config("celeba")
+    assert cfg.dataset == "celeba"
+    assert cfg.diffusion.model_var_type == "fixed-small"
+    assert cfg.model.apply_attn == [False, False, True, False]
+    assert cfg.model.drop_rate == 0.0
+    assert cfg.train.lr == 2e-5
+    assert cfg.train.epochs == 600
+
+
+def test_celebahq_config_builds_six_level_model():
+    # /root/reference/configs/celebahq.json:1-27
+    cfg = load_config("celebahq")
+    assert cfg.dataset == "celeba_hq"
+    assert cfg.diffusion.model_var_type == "fixed-small"
+    assert cfg.model.ch_multipliers == [1, 1, 2, 2, 4, 4]
+    assert cfg.model.apply_attn == [False, False, False, False, True, False]
+    assert cfg.model.block_size == 1
+    assert cfg.train.batch_size == 64
+    assert cfg.train.epochs == 1200
+
+    model = build_unet(cfg.model, channels=3)
+    assert model.ch_multipliers == (1, 1, 2, 2, 4, 4)
+    assert model.num_res_blocks == 2
+    assert model.apply_attn == (False, False, False, False, True, False)
+    assert model.hid_channels == 128
+
+
+def test_registry_name_resolves_reference_filename():
+    # registry key 'celeba_hq' must find the reference-named celebahq.json
+    assert load_config("celeba_hq").dataset == "celeba_hq"
+
+
+def test_resolve_config_fails_loudly_for_unknown_named_dataset():
+    with pytest.raises(SystemExit, match="no config found"):
+        resolve_config("lsun")
+
+
+def test_resolve_config_fails_loudly_for_bad_explicit_path():
+    with pytest.raises(SystemExit, match="no config found"):
+        resolve_config("cifar10", config_path="/nonexistent/cfg.json")
+
+
+def test_resolve_config_allows_configless_datasets_with_warning():
+    msgs = []
+    cfg = resolve_config("fakedata", logger=msgs.append)
+    assert cfg is None
+    assert any("no bundled config" in m for m in msgs)
+
+
+def test_resolve_config_returns_bundled():
+    cfg = resolve_config("celebahq")
+    assert cfg.model.ch_multipliers == [1, 1, 2, 2, 4, 4]

@@ -81,11 +81,11 @@ def train(args):
     from ddpm_tpu import (
         DATASET_INFO,
         GaussianDiffusion,
-        UNet,
+        build_unet,
         get_beta_schedule,
         get_dataloader,
         get_param,
-        load_config,
+        resolve_config,
         seed_all,
     )
     from ddpm_tpu.parallel import make_mesh
@@ -101,13 +101,9 @@ def train(args):
             print(msg, flush=True)
 
     # --- config merge: file section first, CLI fallback (train.py:41-55) ---
-    config_path = args.config_path or (
-        os.path.join(args.config_dir, f"{args.dataset}.json") if args.config_dir else args.dataset
+    config = resolve_config(
+        args.dataset, args.config_path, args.config_dir, logger=logger
     )
-    try:
-        config = load_config(config_path)
-    except FileNotFoundError:
-        config = None
     dataset = (config or {}).get("dataset", args.dataset)
     diff_cfg = (config or {}).get("diffusion") or {}
     model_cfg = (config or {}).get("model") or {}
@@ -134,21 +130,12 @@ def train(args):
     info = DATASET_INFO[dataset]
     res = info["resolution"][0]
     channels = info["channels"]
-    model = UNet(
-        in_channels=model_cfg.get("in_channels", channels),
-        hid_channels=model_cfg.get("hid_channels", 128),
-        out_channels=model_cfg.get("out_channels", channels),
-        ch_multipliers=tuple(model_cfg.get("ch_multipliers", (1, 2, 2, 2))),
-        num_res_blocks=model_cfg.get("num_res_blocks", 2),
-        apply_attn=(
-            tuple(model_cfg["apply_attn"])
-            if isinstance(model_cfg.get("apply_attn"), list)
-            else model_cfg.get("apply_attn", (False, True, False, False))
-        ),
-        drop_rate=model_cfg.get("drop_rate", 0.0),
-        block_size=model_cfg.get("block_size", args.block_size) or 1,
+    model = build_unet(
+        model_cfg,
+        channels,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        remat=bool(model_cfg.get("remat", args.remat)),
+        block_size=args.block_size,
+        remat=args.remat,
     )
 
     batch_size = get_param("batch_size", train_cfg, args)
