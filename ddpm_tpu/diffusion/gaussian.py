@@ -276,8 +276,10 @@ class GaussianDiffusion:
         """Reverse chain that snapshots pred_x_0 every ``pred_freq`` steps.
 
         Returns (x_0 sample, preds) with preds shaped (T//pred_freq, B, ...),
-        ordered from noisiest to cleanest (reference:
-        ddpm_torch/diffusion.py:176-198).
+        ordered from cleanest to noisiest — index 0 holds the final (t≈0)
+        pred_x_0, matching the reference's decrementing snapshot index
+        (ddpm_torch/diffusion.py:176-198). Iterate it in reverse to animate
+        noise → image.
         """
         T = self.timesteps
         L = T // pred_freq

@@ -110,7 +110,17 @@ def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple
     # needs a partial restore — the extra saved subtree is simply skipped
     extra_saved = saved_keys - set(template.keys())
     if extra_saved:
-        restored = _checkpointer().restore(path, item=abstract, partial_restore=True)
+        try:
+            restored = _checkpointer().restore(path, item=abstract, partial_restore=True)
+        except TypeError:
+            # orbax < ~0.11 has no partial_restore: restore with a template
+            # that includes the extra subtrees, then drop them
+            full_meta = _checkpointer().restore(path)
+            widened = dict(abstract)
+            for k in extra_saved:
+                widened[k] = jax.tree.map(ocp.utils.to_shape_dtype_struct, full_meta[k])
+            restored = _checkpointer().restore(path, item=widened)
+            restored = {k: v for k, v in restored.items() if k not in extra_saved}
     else:
         restored = _checkpointer().restore(path, item=abstract)
     ema = restored.get("ema_params")

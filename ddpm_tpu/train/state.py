@@ -98,10 +98,15 @@ class TrainState:
         )
 
     def _ema_update(self, new_params, step):
-        """EMA with the reference's warmup: min(decay, (1+n)/(10+n))."""
+        """EMA with the reference's warmup: min(decay, (1+n)/(10+n)).
+
+        The reference increments its update counter BEFORE computing the
+        decay (utils/train.py:300-305), so on the first update n=1 and
+        decay=2/11; ``step`` here still counts completed updates, hence +1.
+        """
         if self.ema_params is None:
             return None
-        n = step.astype(jnp.float32)
+        n = step.astype(jnp.float32) + 1.0
         decay = jnp.minimum(self.ema_decay, (1.0 + n) / (10.0 + n))
         return jax.tree.map(
             lambda e, p: decay * e + (1.0 - decay) * p, self.ema_params, new_params

@@ -26,7 +26,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import numpy as np
 
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding, to_numpy_global
 from ..utils import RunningStatistics
@@ -52,6 +51,7 @@ class Trainer:
         sample_shape=None,
         image_intv: int = 1,
         chkpt_intv: int = 5,
+        log_intv: int = 100,
         seed: int = 8191,
         dry_run: bool = False,
         use_ema_for_sampling: bool = True,
@@ -71,6 +71,7 @@ class Trainer:
         self.sample_shape = sample_shape
         self.image_intv = image_intv
         self.chkpt_intv = chkpt_intv
+        self.log_intv = log_intv
         self.dry_run = dry_run
         self.logger = logger
         self.start_epoch = 0
@@ -124,25 +125,43 @@ class Trainer:
                 os.makedirs(d, exist_ok=True)
 
         global_steps = int(self.state.step)
+        try:
+            num_batches = len(self.trainloader)
+        except TypeError:
+            num_batches = None
         for epoch in range(self.start_epoch, self.epochs):
             self.stats.reset()
             self.trainloader.set_epoch(epoch)
             t0 = time.time()
-            losses = []  # async device scalars; synced once per epoch
-            n_examples = 0
-            for batch in self._prefetched():
+            # async device scalars with their batch sizes; drained into the
+            # count-weighted RunningStatistics without stalling the pipeline
+            # (reference per-batch tqdm postfix: utils/train.py:206-212)
+            pending = []
+            for i, batch in enumerate(self._prefetched()):
                 self.key, sub = jax.random.split(self.key)
                 self.state, loss = self.train_step(self.state, batch, sub)
-                losses.append(loss)
-                n_examples += len(batch)
+                pending.append((len(batch), loss))
                 global_steps += 1
                 if self.dry_run and int(self.state.step) >= 1:
                     self.logger("dry run: stopping after first optimizer update")
                     return
-            epoch_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+                if self.log_intv and (i + 1) % self.log_intv == 0 and len(pending) > 1:
+                    # every loss but the just-dispatched one has completed by
+                    # now, so float() here costs no device stall
+                    for n, l in pending[:-1]:
+                        self.stats.update(n, loss=float(l))
+                    pending = pending[-1:]
+                    running = self.stats.extract()
+                    total = f"/{num_batches}" if num_batches else ""
+                    self.logger(
+                        f"epoch {epoch + 1}/{self.epochs} [{i + 1}{total}] "
+                        f"loss={running['loss']:.4f}"
+                    )
+            for n, l in pending:
+                self.stats.update(n, loss=float(l))
             dt = time.time() - t0
-            self.stats.update(n_examples, loss=epoch_loss)
-            mean = {"loss": epoch_loss}
+            mean = self.stats.extract()
+            n_examples = self.stats.count
             imgs_per_sec = n_examples / max(dt, 1e-9)
             self.logger(
                 f"epoch {epoch + 1}/{self.epochs} loss={mean['loss']:.4f} "
@@ -190,6 +209,11 @@ class Trainer:
         size, so the evaluator's batch size is independent of the image-grid
         ``sample_size`` and every call keeps static shapes.
         """
+        if self.sample_shape is None:
+            raise ValueError(
+                "in-loop evaluation needs samples: construct Trainer with "
+                "sample_shape=(H, W, C) when passing an evaluator to train()"
+            )
 
         def fn(n: int, key):
             sampler = self._eval_samplers.get(n)

@@ -146,8 +146,9 @@ def main():
         x0, preds = jax.jit(prog)(state, jax.random.key(args.seed))
         frames_dir = os.path.join(save_dir, "progressive")
         os.makedirs(frames_dir, exist_ok=True)
-        preds = np.asarray(preds)  # (L, B, H, W, C), noisiest first
-        for i, frame in enumerate(preds):
+        preds = np.asarray(preds)  # (L, B, H, W, C), cleanest first
+        # write noisiest as frame_0000 so the animation plays noise -> image
+        for i, frame in enumerate(preds[::-1]):
             save_image_grid(os.path.join(frames_dir, f"frame_{i:04d}.png"), frame)
         save_image_grid(os.path.join(frames_dir, "final.png"), np.asarray(x0))
         print(f"wrote {len(preds)} progressive frames to {frames_dir}")

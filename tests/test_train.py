@@ -66,14 +66,17 @@ def test_sharded_train_step(eight_devices):
 
 
 def test_ema_warmup_decay():
-    """decay_t = min(decay, (1+n)/(10+n)) — at n=0 effective decay is 0.1."""
+    """decay_t = min(decay, (1+n)/(10+n)) with n incremented BEFORE the decay
+    computation (reference utils/train.py:300-305) — first update uses n=1,
+    so effective decay is 2/11."""
     model, diffusion, state = make_toy_setup()
     p0 = jax.tree.map(jnp.copy, state.params)
     step = make_train_step(model.apply, diffusion)
     batch = jnp.asarray(Gaussian8(64, random_state=3).data)
     state, _ = step(state, batch, jax.random.key(1))
-    # after 1 update: ema = 0.1 * p0 + 0.9 * p1
-    expect = jax.tree.map(lambda a, b: 0.1 * a + 0.9 * b, p0, state.params)
+    # after 1 update: ema = (2/11) * p0 + (9/11) * p1
+    d = 2.0 / 11.0
+    expect = jax.tree.map(lambda a, b: d * a + (1 - d) * b, p0, state.params)
     chex_close = jax.tree.map(
         lambda a, b: np.allclose(a, b, atol=1e-6), expect, state.ema_params
     )
@@ -413,3 +416,66 @@ def test_trainer_prefetch_preserves_order_and_dry_run(tmp_path):
     trainer.dry_run = True
     trainer.train()
     assert int(trainer.state.step) == 1
+
+
+def test_trainer_intra_epoch_logging_count_weighted(tmp_path):
+    """Per-batch observability: with log_intv set, the Trainer emits running
+    count-weighted loss lines mid-epoch (reference tqdm postfix,
+    utils/train.py:206-212) and the epoch mean weights batches by size."""
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.models import UNet
+    from ddpm_tpu.train.trainer import Trainer
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 5)
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-large", "mse")
+    model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3,
+        ch_multipliers=(1,), num_res_blocks=1, apply_attn=(False,),
+    )
+    x = jnp.zeros((4, 8, 8, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, jnp.zeros((4,), jnp.int32))["params"]
+    state = TrainState.create(params, make_optimizer(lr=1e-3), use_ema=False)
+    loader, _ = get_dataloader(
+        "fakedata", batch_size=8, split="train", resolution=8, size=32
+    )
+    msgs = []
+    trainer = Trainer(
+        model=model, diffusion=diffusion, state=state, trainloader=loader,
+        epochs=1, sample_shape=None, log_intv=2, chkpt_intv=10**9,
+        logger=msgs.append,
+    )
+    trainer.train()
+    progress = [m for m in msgs if "[" in m]
+    assert progress, f"no intra-epoch progress lines in {msgs}"
+    assert "[2/4]" in progress[0]
+    # count-weighted accumulation saw all 32 examples by epoch end
+    assert trainer.stats.count == 32
+    summary = [m for m in msgs if "imgs/s" in m]
+    assert summary and "epoch 1/1" in summary[0]
+
+
+def test_sample_fn_for_eval_requires_sample_shape():
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.models import UNet
+    from ddpm_tpu.train.trainer import Trainer
+
+    betas = get_beta_schedule("linear", 1e-4, 0.02, 5)
+    diffusion = GaussianDiffusion.create(betas, "eps", "fixed-large", "mse")
+    model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3,
+        ch_multipliers=(1,), num_res_blocks=1, apply_attn=(False,),
+    )
+    x = jnp.zeros((4, 8, 8, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, jnp.zeros((4,), jnp.int32))["params"]
+    state = TrainState.create(params, make_optimizer(lr=1e-3), use_ema=False)
+    loader, _ = get_dataloader(
+        "fakedata", batch_size=8, split="train", resolution=8, size=16
+    )
+    trainer = Trainer(
+        model=model, diffusion=diffusion, state=state, trainloader=loader,
+        epochs=1, sample_shape=None, logger=lambda *_: None,
+    )
+    with pytest.raises(ValueError, match="sample_shape"):
+        trainer.sample_fn_for_eval()
