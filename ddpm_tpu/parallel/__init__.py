@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     batch_sharding,
     init_distributed,
+    stage_global_batch,
     addressable_rows,
     to_numpy_global,
     local_batch_slice,
@@ -20,4 +21,5 @@ __all__ = [
     "to_numpy_global",
     "local_batch_slice",
     "init_distributed",
+    "stage_global_batch",
 ]

@@ -26,21 +26,68 @@ __all__ = [
     "addressable_rows",
     "to_numpy_global",
     "init_distributed",
+    "stage_global_batch",
 ]
 
 DATA_AXIS = "data"
 
 
-def init_distributed(**kwargs) -> None:
-    """Multi-host init (no-op on a single host). Mirrors the role of
-    dist.init_process_group (ddpm_torch/train.py:86-97); rendezvous is
-    handled by the TPU runtime rather than FileStore/TCPStore."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    force: bool = False,
+    **kwargs,
+) -> None:
+    """Multi-host init. Mirrors the role of dist.init_process_group
+    (ddpm_torch/train.py:86-97); rendezvous is the JAX coordinator service
+    rather than FileStore/TCPStore.
+
+    MUST run before any other JAX API initializes the backend (the CLIs call
+    it first thing when ``--distributed`` is passed). Explicit args take
+    precedence; with none, ``jax.distributed.initialize()`` auto-detects the
+    cluster (TPU pod metadata, Slurm, OMPI). No-op unless arguments are given,
+    ``force`` is set, or a coordinator address is in the environment — so
+    plain single-host runs never attempt a rendezvous.
+    """
+    import os
+
+    configured = (
+        force
+        or coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_IP")
+    )
+    if not configured:
+        return
     try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # single-process run
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:
+        # idempotent: the launcher (or a previous call) may have initialized
+        if "already" in str(e).lower():
+            return
+        raise
+
+
+def stage_global_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Stage one *process-local* host batch as the global, batch-sharded
+    device array.
+
+    Single-process: a plain async ``device_put`` with the batch sharding.
+    Multi-process SPMD: each process holds only its shard (the loader yields
+    ``global_batch // process_count`` rows), so the global array is assembled
+    with ``jax.make_array_from_process_local_data`` (SURVEY §2.6 — the
+    DistributedSampler + DDP input contract, ddpm_torch/datasets.py:244-245).
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
+    return jax.device_put(batch, sharding)
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_AXIS) -> Mesh:

@@ -27,7 +27,13 @@ from typing import Callable, Optional
 
 import jax
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding, to_numpy_global
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    stage_global_batch,
+    to_numpy_global,
+)
 from ..utils import RunningStatistics
 from ..utils.images import save_image_grid
 from .checkpoint import load_checkpoint, save_checkpoint
@@ -195,7 +201,9 @@ class Trainer:
         it = iter(self.trainloader)
         pending = None
         for batch in it:
-            staged = jax.device_put(batch, self._batch_sharding)
+            # single-host: async device_put; multi-process SPMD: assemble the
+            # global array from this process's shard (SURVEY §2.6)
+            staged = stage_global_batch(batch, self.mesh)
             if pending is not None:
                 yield pending
             pending = staged

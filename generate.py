@@ -45,6 +45,11 @@ def main():
         "(denoise-animation frames; reference diffusion.py:176-198)",
     )
     parser.add_argument("--pred-freq", default=50, type=int)
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host SPMD generation: one launch per host, each writes "
+        "only its own shard (replaces reference mp.spawn, generate.py:168-172)",
+    )
     args = parser.parse_args()
 
     from ddpm_tpu import (
@@ -57,8 +62,10 @@ def main():
         resolve_config,
     )
     from ddpm_tpu.data.transforms import to_uint8
-    from ddpm_tpu.parallel import addressable_rows, make_mesh
+    from ddpm_tpu.parallel import addressable_rows, init_distributed, make_mesh
     from ddpm_tpu.train import TrainState, load_checkpoint, make_optimizer, make_sample_fn
+
+    init_distributed(force=args.distributed)
 
     config = resolve_config(args.dataset, args.config_path, args.config_dir)
     dataset = (config or {}).get("dataset", args.dataset)

@@ -67,6 +67,12 @@ def main():
     parser.add_argument("--warmup", default=5000, type=int)
     parser.add_argument("--train-split", default=None, type=str)
     parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host SPMD: run jax.distributed.initialize() before "
+        "anything touches the backend (launch this script once per host; "
+        "replaces the reference's torchrun/mp.spawn paths)",
+    )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (recommended on TPU)")
     parser.add_argument(
         "--remat", action="store_true",
@@ -88,10 +94,13 @@ def train(args):
         resolve_config,
         seed_all,
     )
-    from ddpm_tpu.parallel import make_mesh
+    from ddpm_tpu.parallel import init_distributed, make_mesh
     from ddpm_tpu.train import TrainState, make_optimizer
     from ddpm_tpu.train.trainer import Trainer
     from ddpm_tpu.utils import dict2str
+
+    # must precede any backend-initializing jax call (process_index below)
+    init_distributed(force=getattr(args, "distributed", False))
 
     seed_all(args.seed)
     is_leader = jax.process_index() == 0
