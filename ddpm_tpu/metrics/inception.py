@@ -205,10 +205,22 @@ class FIDInceptionV3(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
 
 
-def make_feature_extractor(variables, jit: bool = True):
+def make_feature_extractor(variables, jit: bool = True, data_parallel: bool = True):
     """Jitted ``f(batch_01) -> (B, 2048)`` feature function; input is NHWC
-    float in [0, 1]."""
+    float in [0, 1].
+
+    ``data_parallel`` shards each batch over the local device mesh — the
+    equivalent of the reference wrapping Inception in ``nn.DataParallel``
+    (fid_score.py:111-113) so 50k-image extractions don't serialize on one
+    chip of a pod."""
     model = FIDInceptionV3()
+
+    if jit and data_parallel and len(jax.local_devices()) > 1:
+        from ..parallel import data_parallel_extractor
+
+        return data_parallel_extractor(
+            lambda v, x: model.apply(v, x), variables
+        )
 
     def f(x):
         return model.apply(variables, x)

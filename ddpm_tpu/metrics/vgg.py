@@ -52,18 +52,32 @@ class VGG16Features(nn.Module):
         return x
 
 
-def make_vgg_extractor(variables, jit: bool = True, input_range: str = "unit"):
+def make_vgg_extractor(
+    variables, jit: bool = True, input_range: str = "unit", data_parallel: bool = True
+):
     """``input_range``: 'unit' for [0,1] floats (scaled x255 here), 'u8' for
-    already-[0,255] values."""
+    already-[0,255] values.
+
+    ``data_parallel`` shards each batch over the local device mesh (the
+    reference's ``nn.DataParallel`` VGG replication,
+    precision_recall.py:127-130)."""
     model = VGG16Features()
     scale = 255.0 if input_range == "unit" else 1.0
 
-    def f(x):
+    def body(v, x):
         x = jnp.asarray(x).astype(jnp.float32) * scale
         if x.shape[1] != 224 or x.shape[2] != 224:
             x = jax.image.resize(
                 x, (x.shape[0], 224, 224, x.shape[3]), method="bilinear", antialias=False
             )
-        return model.apply(variables, x)
+        return model.apply(v, x)
+
+    if jit and data_parallel and len(jax.local_devices()) > 1:
+        from ..parallel import data_parallel_extractor
+
+        return data_parallel_extractor(body, variables)
+
+    def f(x):
+        return body(variables, x)
 
     return jax.jit(f) if jit else f

@@ -3,6 +3,7 @@ from .mesh import (
     batch_sharding,
     init_distributed,
     stage_global_batch,
+    data_parallel_extractor,
     addressable_rows,
     to_numpy_global,
     local_batch_slice,
@@ -22,4 +23,5 @@ __all__ = [
     "local_batch_slice",
     "init_distributed",
     "stage_global_batch",
+    "data_parallel_extractor",
 ]

@@ -27,6 +27,7 @@ __all__ = [
     "to_numpy_global",
     "init_distributed",
     "stage_global_batch",
+    "data_parallel_extractor",
 ]
 
 DATA_AXIS = "data"
@@ -154,3 +155,35 @@ def local_batch_slice(global_batch: int, axis_size: Optional[int] = None) -> int
     if global_batch % n != 0:
         raise ValueError(f"global batch {global_batch} not divisible by {n} devices")
     return global_batch // n
+
+
+def data_parallel_extractor(fn, variables, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
+    """Wrap a jitted feature/inference function so each call's batch is
+    sharded over the local device mesh — the SPMD stand-in for the
+    reference's single-node ``nn.DataParallel`` metric-model replication
+    (fid_score.py:111-113, precision_recall.py:127-130).
+
+    ``fn(variables, x) -> features``. Variables are replicated once up
+    front; per call the host batch is padded to a multiple of the mesh size
+    (static shapes, so each distinct padded size compiles once), device_put
+    with a batch-axis NamedSharding, and the pad rows dropped on return.
+    """
+    if mesh is None:
+        # metric replication is single-node in the reference; local devices
+        # keep device_put fully addressable under multi-host runs too
+        mesh = make_mesh(jax.local_devices())
+    n = mesh.devices.size
+    variables = jax.device_put(variables, replicated_sharding(mesh))
+    jfn = jax.jit(fn)
+    sharding = batch_sharding(mesh, axis)
+
+    def extract(x):
+        x = np.asarray(x)
+        b = x.shape[0]
+        pad = (-b) % n
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        out = jfn(variables, jax.device_put(x, sharding))
+        return out[:b]
+
+    return extract

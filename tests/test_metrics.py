@@ -125,3 +125,47 @@ def test_evaluator_end_to_end_with_injected_extractor(tmp_path):
     # target stats were persisted for reuse (reference eval.py:87-94 semantics)
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "fid_stats_fakedata.npz"))
+
+
+def test_data_parallel_extractor_matches_single_device(eight_devices):
+    """Metric-model replication (reference nn.DataParallel,
+    fid_score.py:111-113): batches shard over the mesh and results match the
+    unsharded path bitwise, including the non-divisible (padded) case."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddpm_tpu.parallel import data_parallel_extractor, make_mesh
+
+    variables = {"w": jnp.full((4,), 2.0)}
+
+    def fn(v, x):
+        return x.reshape(len(x), -1)[:, :4] * v["w"]
+
+    mesh = make_mesh(eight_devices)
+    extract = data_parallel_extractor(fn, variables, mesh=mesh)
+    x = np.random.default_rng(0).random((16, 2, 4)).astype(np.float32)
+    got = np.asarray(extract(x))
+    want = np.asarray(fn(variables, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
+
+    # batch 11 is not divisible by 8: pad-and-drop path
+    got = np.asarray(extract(x[:11]))
+    np.testing.assert_array_equal(got, want[:11])
+
+
+def test_inception_extractor_shards_over_mesh(eight_devices):
+    """make_feature_extractor(data_parallel=True) must produce the same
+    features as the plain jit path (tiny random-init Inception variables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddpm_tpu.metrics.inception import FIDInceptionV3, make_feature_extractor
+
+    model = FIDInceptionV3(resize_input=False)
+    x_init = jnp.zeros((1, 75, 75, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x_init)
+    x = np.random.default_rng(1).random((8, 75, 75, 3)).astype(np.float32)
+    sharded = make_feature_extractor(variables, data_parallel=True)
+    plain = make_feature_extractor(variables, data_parallel=False)
+    a, b = np.asarray(sharded(x)), np.asarray(plain(x))
+    np.testing.assert_allclose(a, b, atol=1e-5)
