@@ -94,6 +94,15 @@ class GroupNorm32(nn.Module):
     with_silu: bool = False
     drop_rate: float = 0.0
     fuse: bool = False
+    # Compute the group statistics (fwd sums and bwd cross-sums) with the
+    # Pallas kernels in ops/pallas/gn_stats.py. At op level those kernels
+    # beat XLA's reduce emitter ~2.3x (3.0 vs 6.8 ms/step across the CIFAR
+    # UNet), but each custom call forces its operands out of XLA's
+    # batch-minor conv layout ({0,3,2,1}) into the default layout, adding
+    # ~4.7 ms/step of transpose copies plus ~3 ms of lost fusion — a net
+    # 21% end-to-end regression (docs/performance.md round-2 ledger). Kept
+    # as an opt-in for shapes/models where the layout tax doesn't apply.
+    pallas_stats: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -130,6 +139,23 @@ class GroupNorm32(nn.Module):
         B, H, W, C = x.shape
         G, cg = self.num_groups, x.shape[-1] // self.num_groups
         scale, bias = _GNParams(C, name="GroupNorm_0")()
+        if self.pallas_stats and jax.default_backend() == "tpu":
+            # Opt-in: statistics (and their backward cross-sums) via the
+            # Pallas kernels; the affine apply stays jnp so it fuses into
+            # the consumer conv. See the pallas_stats field note for why
+            # this loses end-to-end on the UNet despite faster kernels.
+            from ..ops.pallas.gn_stats import group_norm_affine, supports
+
+            if supports((B, H * W, C)):
+                y = group_norm_affine(
+                    x.reshape(B, H * W, C), scale, bias, G,
+                    self.epsilon, jnp.dtype(self.dtype),
+                ).reshape(B, H, W, C)
+                if self.with_silu:
+                    y = nn.silu(y)
+                if drop > 0.0:
+                    y = nn.Dropout(self.drop_rate, deterministic=False)(y)
+                return y
         xf = x.astype(jnp.float32).reshape(B, H * W, G, cg)
         mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
         # clamp: E[x^2] - mu^2 can round negative under f32 cancellation for

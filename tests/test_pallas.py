@@ -247,3 +247,84 @@ def test_unet_use_flash_trains():
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+# ---------------------------------------------------------------------- #
+# GroupNorm statistics kernels (ops/pallas/gn_stats.py)
+# ---------------------------------------------------------------------- #
+
+from ddpm_tpu.ops.pallas.gn_stats import (  # noqa: E402
+    group_norm_affine,
+    row_sums_cross,
+    row_sums_sq,
+    supports,
+)
+
+
+def test_row_sums_sq_exact():
+    x = jax.random.normal(jax.random.key(0), (4, 48, 256), jnp.float32) * 3 + 1
+    s1, s2 = row_sums_sq(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(x.sum(1)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray((x * x).sum(1)), rtol=1e-6)
+
+
+def test_row_sums_cross_exact():
+    x = jax.random.normal(jax.random.key(1), (3, 64, 128), jnp.float32)
+    g = jax.random.normal(jax.random.key(2), (3, 64, 128), jnp.float32)
+    s1, s2 = row_sums_cross(x, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(g.sum(1)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray((x * g).sum(1)), rtol=1e-6, atol=1e-5
+    )
+
+
+def test_row_sums_bf16_input():
+    x = (jax.random.normal(jax.random.key(3), (2, 32, 128)) * 2).astype(jnp.bfloat16)
+    s1, _ = row_sums_sq(x, interpret=True)
+    ref = x.astype(jnp.float32).sum(1)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref), rtol=1e-6)
+
+
+def test_group_norm_affine_matches_flax():
+    B, N, C = 4, 48, 256
+    x = jax.random.normal(jax.random.key(4), (B, N, C), jnp.float32) * 2 + 0.5
+    gamma = jax.random.normal(jax.random.key(5), (C,)) * 0.1 + 1.0
+    beta = jax.random.normal(jax.random.key(6), (C,)) * 0.1
+    y = group_norm_affine(x, gamma, beta, 32, 1e-6, jnp.float32, True)
+    ref = nn.GroupNorm(num_groups=32, epsilon=1e-6).apply(
+        {"params": {"scale": gamma, "bias": beta}}, x
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=3e-6)
+
+
+def test_group_norm_affine_grads_match_flax():
+    B, N, C = 2, 32, 128
+    x = jax.random.normal(jax.random.key(7), (B, N, C), jnp.float32) * 2
+    gamma = jax.random.normal(jax.random.key(8), (C,)) * 0.1 + 1.0
+    beta = jnp.zeros((C,))
+    cot = jax.random.normal(jax.random.key(9), (B, N, C))
+
+    def mine(x, g, b):
+        return (group_norm_affine(x, g, b, 32, 1e-6, jnp.float32, True) * cot).sum()
+
+    def ref(x, g, b):
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6).apply(
+            {"params": {"scale": g, "bias": b}}, x
+        )
+        return (y * cot).sum()
+
+    g1 = jax.grad(mine, argnums=(0, 1, 2))(x, gamma, beta)
+    g2 = jax.grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g1, g2):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale, rtol=1e-4
+        )
+
+
+def test_gn_stats_supports_predicate():
+    assert supports((8, 1024, 128))
+    assert supports((8, 784, 256))  # MNIST 28x28: divisor row blocks exist
+    assert not supports((8, 1024, 96))  # channels off the lane grid
+    assert supports((8, 997, 128))  # prime rows but whole-N block fits VMEM
+    assert not supports((8, 1009, 4096))  # prime rows AND too wide to block
