@@ -104,7 +104,10 @@ def main():
                 extract,
                 save_path=os.path.join(args.precomputed_dir, f"fid_stats_{args.dataset}.npz"),
             )
-        stats = StreamingStats()
+        # dim inferred from the first batch: keeps the CLI agnostic to the
+        # embedding width (2048 for Inception, anything for injected/test
+        # extractors)
+        stats = StreamingStats(dim=None)
         for batch in iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size):
             stats.update(np.asarray(extract(batch.astype(np.float32) / 255.0)))
         mu_g, sig_g = stats.get_statistics()

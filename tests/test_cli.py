@@ -133,3 +133,73 @@ def test_generate_missing_checkpoint_fails_fast(tmp_path, tiny_config_path):
                 "--total-size", "4",
             ],
         )
+
+
+import eval as eval_cli  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def test_eval_cli_end_to_end_with_injected_extractor(tmp_path, monkeypatch, capsys):
+    """Drive eval.py main(): folder iteration, dataset-stats fallback path,
+    FID + PR computation, manifold caching, metrics.txt append — with a
+    deterministic fake feature extractor standing in for InceptionV3
+    (the real weights need a download; no-egress environment)."""
+    from PIL import Image
+
+    sample_dir = tmp_path / "samples"
+    sample_dir.mkdir()
+    rng = np.random.RandomState(7)
+    for i in range(40):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            sample_dir / f"{i:04d}.png"
+        )
+
+    proj = np.random.RandomState(0).randn(32 * 32 * 3, 16).astype(np.float32)
+
+    def fake_extractor(x):
+        x = np.asarray(x, np.float32)
+        return x.reshape(len(x), -1) @ proj
+
+    import ddpm_tpu.metrics as metrics_mod
+
+    monkeypatch.setattr(metrics_mod, "load_inception_variables", lambda p=None: {})
+    monkeypatch.setattr(
+        metrics_mod, "make_feature_extractor", lambda variables, **kw: fake_extractor
+    )
+    monkeypatch.setattr(metrics_mod, "VGG_WEIGHTS", str(tmp_path / "absent.npz"))
+    monkeypatch.chdir(tmp_path)
+
+    run_main(
+        eval_cli,
+        [
+            "--dataset", "fakedata",
+            "--sample-folder", str(sample_dir),
+            "--batch-size", "32",
+            "--eval-total-size", "64",
+            "--precomputed-dir", str(tmp_path / "precomputed"),
+            "--row-batch-size", "64",
+            "--col-batch-size", "64",
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "fid:" in out and "precision:" in out
+    # dataset stats and the true-data PR manifold were cached for reuse
+    assert (tmp_path / "precomputed" / "fid_stats_fakedata.npz").exists()
+    assert (tmp_path / "precomputed" / "pr_manifold_fakedata_inception.npz").exists()
+    text = (tmp_path / "metrics.txt").read_text()
+    assert "fid" in text and "precision" in text
+
+    # second run consumes both caches (get_precomputed + manifold load)
+    run_main(
+        eval_cli,
+        [
+            "--dataset", "fakedata",
+            "--sample-folder", str(sample_dir),
+            "--batch-size", "32",
+            "--eval-total-size", "64",
+            "--precomputed-dir", str(tmp_path / "precomputed"),
+            "--row-batch-size", "64",
+            "--col-batch-size", "64",
+        ],
+    )
+    assert "fid:" in capsys.readouterr().out
