@@ -1,0 +1,171 @@
+"""Measure every README workload on the attached chip(s) and print a table.
+
+Workloads (select with --only, comma-separated):
+  cifar_train    CIFAR-10 32^2 UNet, batch 128  (the bench.py headline)
+  celeba_train   CelebA 64^2 UNet, batch 128
+  hq_train       CelebA-HQ 256^2 UNet, batch 32, per-block remat
+  ddpm_sample    1000-step ancestral sampling, CIFAR UNet, batch 128
+  ddim_sample    50-step DDIM, CIFAR UNet, batch 128
+
+Each result prints as one JSON line (and a closing summary table). All
+timing synchronizes by fetching a computed value — block_until_ready can
+return early over remotely-attached devices (docs/performance.md).
+
+Usage:  python scripts/bench_all.py [--only cifar_train,ddim_sample] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    from ddpm_tpu.utils.profiling import value_sync
+
+    value_sync(x)
+
+
+def _build(config_name: str, batch: int, remat: bool = False, timesteps: int = 1000):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddpm_tpu.diffusion import GaussianDiffusion
+    from ddpm_tpu.math import get_beta_schedule
+    from ddpm_tpu.models import build_unet
+    from ddpm_tpu.parallel import make_mesh, shard_batch
+    from ddpm_tpu.train import TrainState, make_optimizer, make_train_step
+    from ddpm_tpu.utils.config import load_config
+
+    cfg = load_config(config_name)
+    mesh = make_mesh()
+    dcfg = cfg["diffusion"]
+    betas = get_beta_schedule(
+        dcfg["beta_schedule"], dcfg["beta_start"], dcfg["beta_end"], dcfg["timesteps"]
+    )
+    diffusion = GaussianDiffusion.create(
+        betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"]
+    )
+    res = {"cifar10": 32, "celeba": 64, "celebahq": 256}[config_name]
+    model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16, remat=remat)
+    x = jnp.zeros((batch, res, res, 3), jnp.float32)
+    t = jnp.zeros((batch,), jnp.int32)
+    params = jax.jit(model.init, static_argnums=())(jax.random.key(0), x, t)["params"]
+    tcfg = cfg["train"]
+    tx = make_optimizer(
+        lr=tcfg["lr"], grad_norm=tcfg.get("grad_norm", 1.0), warmup=tcfg.get("warmup", 5000)
+    )
+    state = TrainState.create(params, tx, ema_decay=tcfg.get("ema_decay", 0.9999))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    return model, diffusion, state, mesh, shard_batch(x, mesh), res
+
+
+def bench_train(config_name: str, batch: int, steps: int, remat: bool = False):
+    from ddpm_tpu.train import make_train_step
+
+    model, diffusion, state, mesh, x, _ = _build(config_name, batch, remat)
+    step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
+    key = jax.random.key(0)
+    for i in range(3):
+        state, loss = step(state, x, jax.random.fold_in(key, i))
+    _sync(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss = step(state, x, jax.random.fold_in(key, 10 + i))
+    _sync(loss)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt / jax.device_count()
+
+
+def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
+    from ddpm_tpu.diffusion import (
+        GaussianDiffusion,
+        ddim_from_betas,
+        get_selection_schedule,
+    )
+    from ddpm_tpu.math import get_beta_schedule
+    from ddpm_tpu.models import build_unet
+    from ddpm_tpu.parallel import make_mesh
+    from ddpm_tpu.train import TrainState, make_optimizer, make_sample_fn
+    from ddpm_tpu.utils.config import load_config
+
+    cfg = load_config("cifar10")
+    mesh = make_mesh()
+    dcfg = cfg["diffusion"]
+    betas = get_beta_schedule(
+        dcfg["beta_schedule"], dcfg["beta_start"], dcfg["beta_end"], dcfg["timesteps"]
+    )
+    if use_ddim:
+        subsequence = get_selection_schedule("linear", steps_chain, dcfg["timesteps"])
+        diffusion = ddim_from_betas(
+            betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"],
+            eta=0.0, subsequence=subsequence,
+        )
+    else:
+        diffusion = GaussianDiffusion.create(
+            betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"]
+        )
+    model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    t = jnp.zeros((batch,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), x, t)["params"]
+    state = TrainState.create(params, make_optimizer(lr=2e-4), use_ema=False)
+    sample = make_sample_fn(
+        model.apply, diffusion, (batch, 32, 32, 3), use_ema=False, mesh=mesh
+    )
+    key = jax.random.key(0)
+    out = sample(state, key)
+    _sync(out)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sample(state, jax.random.fold_in(key, i))
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return batch * reps / dt / jax.device_count()
+
+
+WORKLOADS = ["cifar_train", "celeba_train", "hq_train", "ddpm_sample", "ddim_sample"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=",".join(WORKLOADS))
+    ap.add_argument("--steps", type=int, default=30, help="train steps per measurement")
+    args = ap.parse_args()
+    selected = [w.strip() for w in args.only.split(",") if w.strip()]
+    results = {}
+    for w in selected:
+        t0 = time.time()
+        if w == "cifar_train":
+            v, u = bench_train("cifar10", 128, args.steps), "imgs/s/chip"
+        elif w == "celeba_train":
+            v, u = bench_train("celeba", 128, max(args.steps // 3, 5)), "imgs/s/chip"
+        elif w == "hq_train":
+            v, u = bench_train("celebahq", 32, max(args.steps // 6, 3), remat=True), "imgs/s/chip"
+        elif w == "ddpm_sample":
+            v, u = bench_sample(1000, 128, 1, use_ddim=False), "samples/s/chip"
+        elif w == "ddim_sample":
+            v, u = bench_sample(50, 128, 4, use_ddim=True), "samples/s/chip"
+        else:
+            raise SystemExit(f"unknown workload {w!r} (choose from {WORKLOADS})")
+        results[w] = (v, u)
+        print(
+            json.dumps(
+                {"workload": w, "value": round(v, 2), "unit": u, "wall_s": round(time.time() - t0, 1)}
+            ),
+            flush=True,
+        )
+    print("\n== summary ==")
+    for w, (v, u) in results.items():
+        print(f"  {w:14s} {v:10.2f} {u}")
+
+
+if __name__ == "__main__":
+    main()
