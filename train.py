@@ -76,8 +76,9 @@ def main():
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute (recommended on TPU)")
     parser.add_argument(
         "--remat", action="store_true",
-        help="per-block rematerialization (required for celebahq-scale "
-        "batches on one chip; trades ~30%% extra FLOPs for activation HBM)",
+        help="per-block rematerialization: trade recompute FLOPs for "
+        "activation HBM (not needed for any bundled config at its "
+        "single-chip batch; celebahq b32 is ~17%% faster without it)",
     )
     args = parser.parse_args()
     train(args)
