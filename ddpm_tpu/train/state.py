@@ -130,25 +130,37 @@ class TrainState:
         Mirrors utils/train.py:148-165 — loss there is pre-divided by
         num_accum, so here each micro-grad contributes grads/num_accum and the
         update fires when the buffer holds the full-batch average.
+
+        Branchless on purpose: the optimizer/EMA update is computed every
+        micro-step and per-leaf ``where``-selected against the carried state.
+        An earlier ``lax.cond(do_update, do_buffer)`` version duplicated the
+        whole update graph into both branches, which blew XLA compile time
+        from ~4 min to >30 min for the CelebA-HQ 256^2 step on a v5e; the
+        wasted speculative update is a few ms of elementwise parameter
+        traffic per micro-step — noise next to the UNet fwd+bwd.
         """
         assert self.num_accum > 1 and self.grad_accum is not None
         scale = 1.0 / self.num_accum
         acc = jax.tree.map(lambda a, g: a + scale * g, self.grad_accum, grads)
         is_update = (self.accum_step + 1) % self.num_accum == 0
 
-        def do_update(state_acc):
-            state, acc = state_acc
-            new = state.apply_gradients(acc)
-            return new.replace(
-                grad_accum=jax.tree.map(jnp.zeros_like, acc),
-                accum_step=state.accum_step + 1,
-            )
+        updated = self.apply_gradients(acc)
 
-        def do_buffer(state_acc):
-            state, acc = state_acc
-            return state.replace(grad_accum=acc, accum_step=state.accum_step + 1)
+        def sel(u, o):
+            return jnp.where(is_update, u, o)
 
-        return jax.lax.cond(is_update, do_update, do_buffer, (self, acc))
+        return self.replace(
+            step=sel(updated.step, self.step),
+            params=jax.tree.map(sel, updated.params, self.params),
+            opt_state=jax.tree.map(sel, updated.opt_state, self.opt_state),
+            ema_params=(
+                None
+                if self.ema_params is None
+                else jax.tree.map(sel, updated.ema_params, self.ema_params)
+            ),
+            grad_accum=jax.tree.map(lambda a: sel(jnp.zeros_like(a), a), acc),
+            accum_step=self.accum_step + 1,
+        )
 
 
 class DummyScheduler:
