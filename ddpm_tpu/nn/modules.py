@@ -146,7 +146,7 @@ class GroupNorm32(nn.Module):
             # this loses end-to-end on the UNet despite faster kernels.
             from ..ops.pallas.gn_stats import group_norm_affine, supports
 
-            if supports((B, H * W, C)):
+            if supports((B, H * W, C), itemsize=jnp.dtype(x.dtype).itemsize):
                 y = group_norm_affine(
                     x.reshape(B, H * W, C), scale, bias, G,
                     self.epsilon, jnp.dtype(self.dtype),

@@ -64,15 +64,20 @@ def _pick_rows(n: int, c: int, itemsize: int) -> int:
     return _largest_divisor_leq(n, min(cap, n))
 
 
-def supports(shape, c_axis_multiple: int = 128) -> bool:
-    """True if the (B, N, C) shape maps well onto the stats kernels."""
+def supports(shape, c_axis_multiple: int = 128, itemsize: int = 4) -> bool:
+    """True if the (B, N, C) shape maps well onto the stats kernels.
+
+    ``itemsize`` is the input dtype's byte width; callers that don't pass it
+    get the f32 worst case so the predicate never approves a shape whose
+    actual kernel launch would degrade to rows=1 blocks.
+    """
     if len(shape) != 3:
         return False
     _, n, c = shape
     if c % c_axis_multiple != 0:
         return False
     # need a sensible row block; prime/awkward N falls back to jnp
-    return _pick_rows(n, c, 2) >= min(n, 8)
+    return _pick_rows(n, c, itemsize) >= min(n, 8)
 
 
 def _sumsq_kernel(x_ref, s1_ref, s2_ref):

@@ -61,6 +61,9 @@ def init_distributed(
     )
     if not configured:
         return
+    already_up = getattr(jax.distributed, "is_initialized", None)
+    if already_up is not None and already_up():
+        return  # idempotent: launcher or a previous call initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -69,13 +72,17 @@ def init_distributed(
             **kwargs,
         )
     except RuntimeError as e:
-        # idempotent: the launcher (or a previous call) may have initialized
-        if "already" in str(e).lower():
+        # Fallback idempotency for jax versions without is_initialized():
+        # a second initialize raises "should only be called once".
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             return
         raise
 
 
-def stage_global_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+def stage_global_batch(
+    batch, mesh: Mesh, axis: str = DATA_AXIS, sharding: Optional[NamedSharding] = None
+):
     """Stage one *process-local* host batch as the global, batch-sharded
     device array.
 
@@ -85,7 +92,8 @@ def stage_global_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
     with ``jax.make_array_from_process_local_data`` (SURVEY §2.6 — the
     DistributedSampler + DDP input contract, ddpm_torch/datasets.py:244-245).
     """
-    sharding = batch_sharding(mesh, axis)
+    if sharding is None:
+        sharding = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
     return jax.device_put(batch, sharding)

@@ -114,11 +114,22 @@ def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple
             restored = _checkpointer().restore(path, item=abstract, partial_restore=True)
         except TypeError:
             # orbax < ~0.11 has no partial_restore: restore with a template
-            # that includes the extra subtrees, then drop them
-            full_meta = _checkpointer().restore(path)
+            # widened by shape structs for the extra subtrees, then drop
+            # them. The structs come from the checkpoint *metadata* (already
+            # fetched above — extra_saved non-empty implies tree is not
+            # None), so the full state is materialized exactly once.
             widened = dict(abstract)
-            for k in extra_saved:
-                widened[k] = jax.tree.map(ocp.utils.to_shape_dtype_struct, full_meta[k])
+            try:
+                for k in extra_saved:
+                    widened[k] = jax.tree.map(
+                        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
+                        tree[k],
+                    )
+            except Exception:
+                # metadata layout surprise: fall back to a throwaway restore
+                full_meta = _checkpointer().restore(path)
+                for k in extra_saved:
+                    widened[k] = jax.tree.map(ocp.utils.to_shape_dtype_struct, full_meta[k])
             restored = _checkpointer().restore(path, item=widened)
             restored = {k: v for k, v in restored.items() if k not in extra_saved}
     else:

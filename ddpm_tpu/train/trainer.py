@@ -203,7 +203,7 @@ class Trainer:
         for batch in it:
             # single-host: async device_put; multi-process SPMD: assemble the
             # global array from this process's shard (SURVEY §2.6)
-            staged = stage_global_batch(batch, self.mesh)
+            staged = stage_global_batch(batch, self.mesh, sharding=self._batch_sharding)
             if pending is not None:
                 yield pending
             pending = staged

@@ -35,14 +35,14 @@ def _sync(x):
     value_sync(x)
 
 
-def _build(config_name: str, batch: int, remat: bool = False, timesteps: int = 1000):
+def _build(config_name: str, batch: int, remat: bool = False):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ddpm_tpu.diffusion import GaussianDiffusion
     from ddpm_tpu.math import get_beta_schedule
     from ddpm_tpu.models import build_unet
     from ddpm_tpu.parallel import make_mesh, shard_batch
-    from ddpm_tpu.train import TrainState, make_optimizer, make_train_step
+    from ddpm_tpu.train import TrainState, make_optimizer
     from ddpm_tpu.utils.config import load_config
 
     cfg = load_config(config_name)
