@@ -56,6 +56,9 @@ def init_distributed(
     configured = (
         force
         or coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or bool(kwargs)
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("JAX_COORDINATOR_IP")
     )
@@ -186,11 +189,17 @@ def data_parallel_extractor(fn, variables, mesh: Optional[Mesh] = None, axis: st
     sharding = batch_sharding(mesh, axis)
 
     def extract(x):
-        x = np.asarray(x)
         b = x.shape[0]
         pad = (-b) % n
         if pad:
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            if isinstance(x, jax.Array):
+                # pad on device — no host round trip for sampler outputs
+                import jax.numpy as jnp
+
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+            else:
+                x = np.asarray(x)
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
         out = jfn(variables, jax.device_put(x, sharding))
         return out[:b]
 

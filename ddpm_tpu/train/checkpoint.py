@@ -117,7 +117,8 @@ def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple
             # widened by shape structs for the extra subtrees, then drop
             # them. The structs come from the checkpoint *metadata* (already
             # fetched above — extra_saved non-empty implies tree is not
-            # None), so the full state is materialized exactly once.
+            # None), so normally no throwaway full restore is needed; only
+            # an unexpected metadata layout falls back to one.
             widened = dict(abstract)
             try:
                 for k in extra_saved:

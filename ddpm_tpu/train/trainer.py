@@ -129,8 +129,13 @@ class Trainer:
         for d in (chkpt_dir, image_dir):
             if d and self.is_leader:
                 os.makedirs(d, exist_ok=True)
+        if evaluator is not None and self.sample_shape is None:
+            # fail before the first epoch, not at the first checkpoint interval
+            raise ValueError(
+                "in-loop evaluation needs samples: construct Trainer with "
+                "sample_shape=(H, W, C) when passing an evaluator to train()"
+            )
 
-        global_steps = int(self.state.step)
         try:
             num_batches = len(self.trainloader)
         except TypeError:
@@ -147,7 +152,6 @@ class Trainer:
                 self.key, sub = jax.random.split(self.key)
                 self.state, loss = self.train_step(self.state, batch, sub)
                 pending.append((len(batch), loss))
-                global_steps += 1
                 if self.dry_run and int(self.state.step) >= 1:
                     self.logger("dry run: stopping after first optimizer update")
                     return

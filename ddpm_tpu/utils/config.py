@@ -109,9 +109,18 @@ def resolve_config(
     CONFIGLESS_DATASETS are allowed to run from CLI flags alone (with a
     warning) since the reference ships no config for them either.
     """
-    path = config_path or (
-        os.path.join(config_dir, f"{dataset}.json") if config_dir else dataset
-    )
+    if config_path:
+        path = config_path
+    elif config_dir:
+        # same underscore-stripping alias as the bundled lookup, so a user
+        # dir laid out like the reference's (celebahq.json) works for the
+        # registry name 'celeba_hq'
+        path = os.path.join(config_dir, f"{dataset}.json")
+        alias = os.path.join(config_dir, f"{dataset.replace('_', '')}.json")
+        if not os.path.isfile(path) and os.path.isfile(alias):
+            path = alias
+    else:
+        path = dataset
     try:
         return load_config(path)
     except FileNotFoundError:

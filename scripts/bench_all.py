@@ -2,6 +2,7 @@
 
 Workloads (select with --only, comma-separated):
   cifar_train    CIFAR-10 32^2 UNet, batch 128  (the bench.py headline)
+  loop_train     full trainer loop: uint8 loader + prefetch + step (CIFAR shape)
   celeba_train   CelebA 64^2 UNet, batch 128
   hq_train       CelebA-HQ 256^2 UNet, batch 32 (fits without remat: 90 vs
                  75 imgs/s with it; batch 64 fails to compile either way)
@@ -85,6 +86,41 @@ def bench_train(config_name: str, batch: int, steps: int, remat: bool = False):
     return batch * steps / dt / jax.device_count()
 
 
+def bench_loop(steps: int):
+    """Full trainer loop on CIFAR-shaped data: ShardedLoader shipping raw
+    uint8 (device-side normalize) + one-batch prefetch + fused train step —
+    the same pipeline Trainer._prefetched runs, minus logging."""
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.parallel import batch_sharding, stage_global_batch
+    from ddpm_tpu.train import make_train_step
+
+    batch = 128
+    model, diffusion, state, mesh, x, _ = _build("cifar10", batch)
+    step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
+    key = jax.random.key(0)
+    for i in range(3):  # compile + warm
+        state, loss = step(state, x.astype(jnp.uint8), jax.random.fold_in(key, i))
+    _sync(loss)
+    loader, _ = get_dataloader(
+        "fakedata", batch, "train", size=batch * (steps + 1), device_normalize=True
+    )
+    sharding = batch_sharding(mesh)
+    n = 0
+    t0 = time.perf_counter()
+    pending = None
+    for b in loader:
+        staged = stage_global_batch(b, mesh, sharding=sharding)
+        if pending is not None:
+            state, loss = step(state, pending, jax.random.fold_in(key, 10 + n))
+            n += 1
+        pending = staged
+    state, loss = step(state, pending, jax.random.fold_in(key, 10 + n))
+    n += 1
+    _sync(loss)
+    dt = time.perf_counter() - t0
+    return batch * n / dt / jax.device_count()
+
+
 def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
     from ddpm_tpu.diffusion import (
         GaussianDiffusion,
@@ -132,7 +168,14 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
     return batch * reps / dt / jax.device_count()
 
 
-WORKLOADS = ["cifar_train", "celeba_train", "hq_train", "ddpm_sample", "ddim_sample"]
+WORKLOADS = [
+    "cifar_train",
+    "loop_train",
+    "celeba_train",
+    "hq_train",
+    "ddpm_sample",
+    "ddim_sample",
+]
 
 
 def main():
@@ -146,6 +189,8 @@ def main():
         t0 = time.time()
         if w == "cifar_train":
             v, u = bench_train("cifar10", 128, args.steps), "imgs/s/chip"
+        elif w == "loop_train":
+            v, u = bench_loop(max(args.steps * 2, 20)), "imgs/s/chip"
         elif w == "celeba_train":
             v, u = bench_train("celeba", 128, max(args.steps // 3, 5)), "imgs/s/chip"
         elif w == "hq_train":

@@ -88,6 +88,9 @@ def summarize(logdir: str, steps: int):
             per_base[base] += dur_ms
             counts[base] += 1
     total = sum(per_base.values())
+    if not total:
+        print("no device ops in trace (capture interrupted or taken before any step ran?)")
+        return
     print(f"\n== op-name totals over {steps} steps (ms/step, TensorCore-serial) ==")
     for b, ms in sorted(per_base.items(), key=lambda kv: -kv[1])[:20]:
         print(
