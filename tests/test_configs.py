@@ -84,3 +84,15 @@ def test_resolve_config_allows_configless_datasets_with_warning():
 def test_resolve_config_returns_bundled():
     cfg = resolve_config("celebahq")
     assert cfg.model.ch_multipliers == [1, 1, 2, 2, 4, 4]
+
+
+def test_resolve_config_dir_applies_underscore_alias(tmp_path):
+    # a user --config-dir laid out like the reference's (celebahq.json,
+    # no underscore) must resolve for the registry name 'celeba_hq'
+    import json
+
+    (tmp_path / "celebahq.json").write_text(
+        json.dumps({"model": {"ch_multipliers": [1, 1, 2, 2, 4, 4]}})
+    )
+    cfg = resolve_config("celeba_hq", config_dir=str(tmp_path))
+    assert cfg.model.ch_multipliers == [1, 1, 2, 2, 4, 4]

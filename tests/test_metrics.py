@@ -152,6 +152,10 @@ def test_data_parallel_extractor_matches_single_device(eight_devices):
     got = np.asarray(extract(x[:11]))
     np.testing.assert_array_equal(got, want[:11])
 
+    # device arrays (e.g. sampler outputs) pad on device — no host round trip
+    got = np.asarray(extract(jnp.asarray(x[:11])))
+    np.testing.assert_array_equal(got, want[:11])
+
 
 def test_inception_extractor_shards_over_mesh(eight_devices):
     """make_feature_extractor(data_parallel=True) must produce the same
