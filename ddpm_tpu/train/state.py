@@ -25,13 +25,18 @@ from flax import struct
 __all__ = ["TrainState", "make_optimizer", "warmup_schedule", "DummyScheduler"]
 
 
-def warmup_schedule(base_lr: float, warmup: int) -> optax.Schedule:
-    """LambdaLR-equivalent: lr * min((t+1)/warmup, 1) at update index t."""
+def warmup_schedule(base_lr: float, warmup: int, stride: int = 1) -> optax.Schedule:
+    """LambdaLR-equivalent: lr * min((t+1)/warmup, 1) at update index t.
+
+    ``stride`` quantizes t to epochs (t -> t // stride) for schedulers the
+    reference steps once per epoch rather than per update — the toy
+    trainer's warmup (train_toy.py:21,93-95 steps LambdaLR at epoch end,
+    toy/toy_utils.py:92-93)."""
     if warmup <= 0:
         return optax.constant_schedule(base_lr)
 
     def schedule(count):
-        return base_lr * jnp.minimum((count + 1.0) / warmup, 1.0)
+        return base_lr * jnp.minimum((count // stride + 1.0) / warmup, 1.0)
 
     return schedule
 
@@ -43,13 +48,15 @@ def make_optimizer(
     beta1: float = 0.9,
     beta2: float = 0.999,
     eps: float = 1e-8,
+    warmup_stride: int = 1,
 ) -> optax.GradientTransformation:
     parts = []
     if grad_norm is not None and grad_norm > 0:
         parts.append(optax.clip_by_global_norm(grad_norm))
     parts.append(
         optax.inject_hyperparams(optax.adam)(
-            learning_rate=warmup_schedule(lr, warmup), b1=beta1, b2=beta2, eps=eps
+            learning_rate=warmup_schedule(lr, warmup, warmup_stride),
+            b1=beta1, b2=beta2, eps=eps,
         )
     )
     return optax.chain(*parts)

@@ -16,9 +16,10 @@ from argparse import ArgumentParser
 import numpy as np
 
 
-def iter_image_folder(folder: str, batch_size: int, total: int):
+def iter_image_folder(folder: str, batch_size: int, total: int, seed: int = 1234):
     """Yield uint8 NHWC batches from a folder of images (subsampled to
-    ``total`` — reference eval.py:56-79)."""
+    ``total`` — reference eval.py:56-79; ``seed`` drives the subsample as
+    the reference's seed_all does, eval.py:29,71)."""
     from PIL import Image
 
     files = sorted(
@@ -27,7 +28,7 @@ def iter_image_folder(folder: str, batch_size: int, total: int):
         if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
     )
     if total and len(files) > total:
-        files = [files[i] for i in np.random.RandomState(1234).choice(len(files), total, replace=False)]
+        files = [files[i] for i in np.random.RandomState(seed).choice(len(files), total, replace=False)]
     batch = []
     for path in files:
         with Image.open(path) as im:
@@ -51,6 +52,7 @@ def main():
     parser.add_argument("--nhood-size", default=3, type=int)
     parser.add_argument("--row-batch-size", default=10000, type=int)
     parser.add_argument("--col-batch-size", default=10000, type=int)
+    parser.add_argument("--seed", default=1234, type=int)
     args = parser.parse_args()
 
     from ddpm_tpu.data import get_dataloader
@@ -108,7 +110,7 @@ def main():
         # embedding width (2048 for Inception, anything for injected/test
         # extractors)
         stats = StreamingStats(dim=None)
-        for batch in iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size):
+        for batch in iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size, args.seed):
             stats.update(np.asarray(extract(batch.astype(np.float32) / 255.0)))
         mu_g, sig_g = stats.get_statistics()
         results["fid"] = calc_fd(mu_g, sig_g, mu_t, sig_t)
@@ -137,7 +139,7 @@ def main():
             builder.save(manifold_path)
             true_manifold = builder.manifold
         gen_manifold = ManifoldBuilder(
-            data=iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size),
+            data=iter_image_folder(args.sample_folder, args.batch_size, args.eval_total_size, args.seed),
             extractor=pr_extract,
             max_size=args.eval_total_size,
             **kw,

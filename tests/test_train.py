@@ -104,6 +104,16 @@ def test_warmup_schedule_values():
     assert np.isclose(float(sched(100000)), 2e-4)
 
 
+def test_warmup_schedule_epoch_stride_matches_per_epoch_lambdalr():
+    # the toy trainer's reference steps LambdaLR once per epoch
+    # (toy_utils.py:92-93): during epoch e the multiplier is min((e+1)/W, 1)
+    from ddpm_tpu.train import warmup_schedule
+
+    sched = warmup_schedule(1.0, 5, stride=10)
+    for step, want in [(0, 0.2), (9, 0.2), (10, 0.4), (40, 1.0), (120, 1.0)]:
+        assert np.isclose(float(sched(step)), want), step
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from ddpm_tpu.train import load_checkpoint, save_checkpoint
 

@@ -4,8 +4,12 @@ reference train.py, executed as a single SPMD program over all TPU chips.
 Differences from the reference launcher model (ddpm_torch/train.py:236-301):
 there is no mp.spawn / torchrun fork — JAX SPMD means one process per host
 drives all local chips, and multi-host runs launch this same script once per
-host (jax.distributed handles rendezvous). ``--distributed``/``--rigid-launch``
-/``--num-gpus`` therefore do not exist; sharding is automatic over the mesh.
+host (``--distributed`` runs jax.distributed.initialize for rendezvous;
+the reference's ``--rigid-launch``/``--num-gpus`` spawn modes do not exist
+since sharding is automatic over the mesh). ``--num-workers`` and
+``--train-device``/``--eval-device`` have no TPU equivalent (in-process
+loader with device prefetch; one backend), and ``--chkpt-name`` is subsumed
+by the epoch-keyed checkpoint directory under ``--chkpt-dir/<exp-name>/``.
 """
 
 from __future__ import annotations

@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--root", default="~/datasets", type=str)
     parser.add_argument("--epochs", default=100, type=int)
     parser.add_argument("--lr", default=0.001, type=float)
+    parser.add_argument("--lr-warmup", default=0, type=int,
+                        help="number of warming-up epochs (reference train_toy.py:21)")
     parser.add_argument("--beta1", default=0.9, type=float)
     parser.add_argument("--beta2", default=0.999, type=float)
     parser.add_argument("--batch-size", default=1000, type=int)
@@ -43,6 +45,8 @@ def main():
     parser.add_argument("--eval-intv", default=10, type=int)
     parser.add_argument("--eval-size", default=30000, type=int)
     parser.add_argument("--seed", default=1234, type=int)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume training from the latest checkpoint in --chkpt-dir")
     args = parser.parse_args()
 
     from ddpm_tpu.data.toy import TOY_DATASETS, DataStreamer
@@ -52,6 +56,7 @@ def main():
     from ddpm_tpu.models import Decoder
     from ddpm_tpu.train import (
         TrainState,
+        load_checkpoint,
         make_optimizer,
         make_sample_fn,
         make_train_step,
@@ -76,7 +81,13 @@ def main():
     params = model.init(
         jax.random.key(args.seed), jnp.zeros((1, 2)), jnp.zeros((1,), jnp.int32)
     )["params"]
-    tx = make_optimizer(lr=args.lr, grad_norm=1.0, warmup=0, beta1=args.beta1, beta2=args.beta2)
+    # the reference steps its warmup LambdaLR once per EPOCH in the toy
+    # trainer (toy_utils.py:92-93); warmup_stride quantizes the per-update
+    # schedule to the same multiplier sequence
+    tx = make_optimizer(
+        lr=args.lr, grad_norm=1.0, warmup=args.lr_warmup,
+        warmup_stride=num_batches, beta1=args.beta1, beta2=args.beta2,
+    )
     state = TrainState.create(params, tx, use_ema=False)
 
     step = make_train_step(model.apply, diffusion)
@@ -93,7 +104,14 @@ def main():
     os.makedirs(args.chkpt_dir, exist_ok=True)
     key = jax.random.key(args.seed)
 
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = load_checkpoint(state, args.chkpt_dir)
+        # keep the RNG stream disjoint from the epochs already trained
+        key = jax.random.fold_in(key, start_epoch)
+        print(f"resumed from epoch {start_epoch}", flush=True)
+
+    for epoch in range(start_epoch, args.epochs):
         losses = []
         for batch in streamer:
             key, sub = jax.random.split(key)
