@@ -18,9 +18,15 @@ from .diffusion import (
 )
 from .diffusion.toy import ToyGaussianDiffusion
 from .math import get_beta_schedule
-from .models import Decoder, UNet, build_unet
+from .models import Decoder, ModelWrapper, UNet, build_unet
 from .parallel import make_mesh, shard_batch
-from .train import TrainState, make_optimizer, make_sample_fn, make_train_step
+from .train import (
+    DummyScheduler,
+    TrainState,
+    make_optimizer,
+    make_sample_fn,
+    make_train_step,
+)
 from .train.trainer import Trainer
 
 
@@ -52,6 +58,8 @@ __all__ = [
     "get_dataloader",
     "Trainer",
     "Evaluator",
+    "DummyScheduler",
+    "ModelWrapper",
     "TrainState",
     "make_optimizer",
     "make_train_step",
