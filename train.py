@@ -249,12 +249,18 @@ def train(args):
     if args.eval:
         from ddpm_tpu.metrics import Evaluator
 
-        evaluator = Evaluator(
-            dataset=dataset,
-            total_size=args.eval_total_size,
-            batch_size=args.eval_batch_size,
-            root=os.path.expanduser(args.root),
-        )
+        try:
+            evaluator = Evaluator(
+                dataset=dataset,
+                total_size=args.eval_total_size,
+                batch_size=args.eval_batch_size,
+                root=os.path.expanduser(args.root),
+            )
+        except FileNotFoundError as e:
+            # same graceful exit as eval.py: the reference downloads the FID
+            # Inception weights on demand (inception.py:13); offline hosts
+            # must convert them once with scripts/convert_inception.py
+            raise SystemExit(f"error: --eval needs FID weights: {e}")
 
     # under multi-process SPMD, force resume so elastically-restarted workers
     # reload the last checkpoint (reference train.py:215-224)
