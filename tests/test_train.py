@@ -133,6 +133,25 @@ def test_checkpoint_roundtrip(tmp_path):
     assert all(jax.tree.leaves(same))
 
 
+def test_trainer_rejects_evaluator_without_sample_shape():
+    """Passing an evaluator without sample_shape must fail at train() entry
+    with an actionable message, not a TypeError at the first checkpoint
+    interval."""
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.train.trainer import Trainer
+
+    model, diffusion, state = make_toy_setup()
+    loader, _ = get_dataloader(
+        "fakedata", batch_size=8, split="train", resolution=8, size=16
+    )
+    trainer = Trainer(
+        model=model, diffusion=diffusion, state=state, trainloader=loader,
+        epochs=1, sample_shape=None, logger=lambda *_: None,
+    )
+    with pytest.raises(ValueError, match="sample_shape"):
+        trainer.train(evaluator=object())
+
+
 def test_trainer_in_loop_eval_and_checkpoint(tmp_path):
     """Full Trainer.train() loop with an in-loop Evaluator and checkpointing:
     exercises the dedicated per-size eval sampler, the padded-free streaming
