@@ -189,6 +189,8 @@ def data_parallel_extractor(fn, variables, mesh: Optional[Mesh] = None, axis: st
     sharding = batch_sharding(mesh, axis)
 
     def extract(x):
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)  # lists / array-likes: same contract as before
         b = x.shape[0]
         pad = (-b) % n
         if pad:
@@ -198,7 +200,6 @@ def data_parallel_extractor(fn, variables, mesh: Optional[Mesh] = None, axis: st
 
                 x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
             else:
-                x = np.asarray(x)
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
         out = jfn(variables, jax.device_put(x, sharding))
         return out[:b]

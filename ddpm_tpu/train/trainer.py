@@ -129,12 +129,9 @@ class Trainer:
         for d in (chkpt_dir, image_dir):
             if d and self.is_leader:
                 os.makedirs(d, exist_ok=True)
-        if evaluator is not None and self.sample_shape is None:
+        if evaluator is not None and chkpt_dir:
             # fail before the first epoch, not at the first checkpoint interval
-            raise ValueError(
-                "in-loop evaluation needs samples: construct Trainer with "
-                "sample_shape=(H, W, C) when passing an evaluator to train()"
-            )
+            self._require_sample_shape()
 
         try:
             num_batches = len(self.trainloader)
@@ -214,6 +211,13 @@ class Trainer:
         if pending is not None:
             yield pending
 
+    def _require_sample_shape(self):
+        if self.sample_shape is None:
+            raise ValueError(
+                "in-loop evaluation needs samples: construct Trainer with "
+                "sample_shape=(H, W, C) when passing an evaluator to train()"
+            )
+
     def sample_fn_for_eval(self):
         """Adapter handing the in-loop evaluator a ``fn(n, key)``.
 
@@ -221,11 +225,7 @@ class Trainer:
         size, so the evaluator's batch size is independent of the image-grid
         ``sample_size`` and every call keeps static shapes.
         """
-        if self.sample_shape is None:
-            raise ValueError(
-                "in-loop evaluation needs samples: construct Trainer with "
-                "sample_shape=(H, W, C) when passing an evaluator to train()"
-            )
+        self._require_sample_shape()
 
         def fn(n: int, key):
             sampler = self._eval_samplers.get(n)

@@ -69,17 +69,18 @@ def bundled_configs() -> list[str]:
     )
 
 
-def load_config(path_or_name: str) -> ConfigDict:
-    """Load a JSON config by absolute path or bundled name (e.g. 'cifar10').
+def load_config(path_or_name: str, search_dir: str | None = None) -> ConfigDict:
+    """Load a JSON config by absolute path or by name (e.g. 'cifar10')
+    looked up in ``search_dir`` (default: the bundled configs).
 
-    Bundled names also resolve with underscores stripped so the registry
-    key 'celeba_hq' finds the reference-named file 'celebahq.json'
+    Names also resolve with underscores stripped so the registry key
+    'celeba_hq' finds the reference-named file 'celebahq.json'
     (reference: configs/celebahq.json vs datasets.py:17-19 name rule).
     """
     path = path_or_name
     if not os.path.isfile(path):
         for name in (path_or_name, path_or_name.replace("_", "")):
-            cand = os.path.join(CONFIG_DIR, f"{name}.json")
+            cand = os.path.join(search_dir or CONFIG_DIR, f"{name}.json")
             if os.path.isfile(cand):
                 path = cand
                 break
@@ -109,20 +110,11 @@ def resolve_config(
     CONFIGLESS_DATASETS are allowed to run from CLI flags alone (with a
     warning) since the reference ships no config for them either.
     """
-    if config_path:
-        path = config_path
-    elif config_dir:
-        # same underscore-stripping alias as the bundled lookup, so a user
-        # dir laid out like the reference's (celebahq.json) works for the
-        # registry name 'celeba_hq'
-        path = os.path.join(config_dir, f"{dataset}.json")
-        alias = os.path.join(config_dir, f"{dataset.replace('_', '')}.json")
-        if not os.path.isfile(path) and os.path.isfile(alias):
-            path = alias
-    else:
-        path = dataset
+    path = config_path or dataset
     try:
-        return load_config(path)
+        # a user --config-dir gets the same name/alias lookup as the
+        # bundled configs (one rule, defined in load_config)
+        return load_config(path, search_dir=config_dir)
     except FileNotFoundError:
         if config_path or config_dir or dataset not in CONFIGLESS_DATASETS:
             raise SystemExit(

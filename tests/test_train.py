@@ -133,7 +133,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert all(jax.tree.leaves(same))
 
 
-def test_trainer_rejects_evaluator_without_sample_shape():
+def test_trainer_rejects_evaluator_without_sample_shape(tmp_path):
     """Passing an evaluator without sample_shape must fail at train() entry
     with an actionable message, not a TypeError at the first checkpoint
     interval."""
@@ -149,7 +149,7 @@ def test_trainer_rejects_evaluator_without_sample_shape():
         epochs=1, sample_shape=None, logger=lambda *_: None,
     )
     with pytest.raises(ValueError, match="sample_shape"):
-        trainer.train(evaluator=object())
+        trainer.train(evaluator=object(), chkpt_dir=str(tmp_path))
 
 
 def test_trainer_in_loop_eval_and_checkpoint(tmp_path):

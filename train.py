@@ -247,20 +247,28 @@ def train(args):
     )
     evaluator = None
     if args.eval:
-        from ddpm_tpu.metrics import Evaluator
+        from ddpm_tpu.metrics import (
+            INCEPTION_WEIGHTS,
+            Evaluator,
+            load_inception_variables,
+        )
 
         try:
-            evaluator = Evaluator(
-                dataset=dataset,
-                total_size=args.eval_total_size,
-                batch_size=args.eval_batch_size,
-                root=os.path.expanduser(args.root),
-            )
+            inception_vars = load_inception_variables(INCEPTION_WEIGHTS)
         except FileNotFoundError as e:
             # same graceful exit as eval.py: the reference downloads the FID
             # Inception weights on demand (inception.py:13); offline hosts
-            # must convert them once with scripts/convert_inception.py
+            # must convert them once with scripts/convert_inception.py.
+            # Only the weight load maps to this message — dataset errors
+            # from the stats fallback propagate with their own context.
             raise SystemExit(f"error: --eval needs FID weights: {e}")
+        evaluator = Evaluator(
+            dataset=dataset,
+            total_size=args.eval_total_size,
+            batch_size=args.eval_batch_size,
+            root=os.path.expanduser(args.root),
+            variables=inception_vars,
+        )
 
     # under multi-process SPMD, force resume so elastically-restarted workers
     # reload the last checkpoint (reference train.py:215-224)
