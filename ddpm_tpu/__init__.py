@@ -28,6 +28,15 @@ from .train import (
     make_train_step,
 )
 from .train.trainer import Trainer
+from .utils import (
+    ConfigDict,
+    RunningStatistics,
+    dict2str,
+    get_param,
+    load_config,
+    resolve_config,
+    seed_all,
+)
 
 
 def __getattr__(name):
@@ -38,7 +47,7 @@ def __getattr__(name):
 
         return Evaluator
     raise AttributeError(name)
-from .utils import ConfigDict, RunningStatistics, dict2str, get_param, load_config, resolve_config, seed_all
+
 
 __version__ = "0.1.0"
 

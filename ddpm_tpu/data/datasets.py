@@ -180,9 +180,16 @@ class CelebA_HQ(FileDataset):
 
     def __init__(self, root: str = ROOT, split: str = "all", **_):
         img_dir = os.path.join(root, "celeba_hq", "img_celeba_hq")
-        names = sorted(os.listdir(img_dir))
+        # The canonical ordering filters to .png and sorts numerically by the
+        # filename stem BEFORE the seeded shuffle; lexicographic sorting would
+        # permute non-zero-padded names ("2.png" vs "10.png") differently and
+        # break the legacy ProGAN order (ddpm_torch/datasets.py:181-186).
+        names = sorted(
+            (n for n in os.listdir(img_dir) if n.endswith(".png")),
+            key=lambda n: int(n[:-4]),
+        )
         # legacy ProGAN order: deterministic shuffle with seed 123
-        # (ddpm_torch/datasets.py:166-171)
+        # (ddpm_torch/datasets.py:186)
         np.random.RandomState(123).shuffle(names)
         files = [os.path.join(img_dir, n) for n in names]
         super().__init__(files, _decode_image)

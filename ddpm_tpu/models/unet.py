@@ -53,6 +53,7 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     fuse_gn: bool = False
+    gn_pallas_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -61,7 +62,8 @@ class AttentionBlock(nn.Module):
         skip = x
         if in_ch != out_ch:
             skip = nn.Dense(out_ch, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="skip")(x)
-        h = GroupNorm32(dtype=self.dtype, fuse=self.fuse_gn, name="norm")(x)
+        h = GroupNorm32(dtype=self.dtype, fuse=self.fuse_gn,
+                        pallas_stats=self.gn_pallas_stats, name="norm")(x)
         qkv = nn.Dense(3 * in_ch, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="project_in")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         h = spatial_attention(q, k, v, use_flash=self.use_flash)
@@ -81,6 +83,7 @@ class ResidualBlock(nn.Module):
     drop_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     fuse_gn: bool = False
+    gn_pallas_stats: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, train: bool = False):
@@ -90,7 +93,8 @@ class ResidualBlock(nn.Module):
             skip = nn.Conv(
                 self.out_channels, (1, 1), kernel_init=DEFAULT_INIT, dtype=self.dtype, name="skip"
             )(x)
-        h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn, name="norm1")(x)
+        h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn,
+                        pallas_stats=self.gn_pallas_stats, name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding="SAME",
             kernel_init=DEFAULT_INIT, dtype=self.dtype, name="conv1",
@@ -103,7 +107,7 @@ class ResidualBlock(nn.Module):
         # mask comes from the hardware PRNG on the fused TPU path
         h = GroupNorm32(
             dtype=self.dtype, with_silu=True, drop_rate=self.drop_rate,
-            fuse=self.fuse_gn, name="norm2",
+            fuse=self.fuse_gn, pallas_stats=self.gn_pallas_stats, name="norm2",
         )(h, deterministic=not train)
         h = nn.Conv(
             self.out_channels, (3, 3), padding="SAME",
@@ -178,6 +182,13 @@ class UNet(nn.Module):
     # supported path for A/B checks and for models where the norm is not
     # fusion-adjacent to a conv.
     fuse_gn: bool = False
+    # Route only the GroupNorm STATISTICS (fwd sums + bwd cross-sums)
+    # through the Pallas kernels in ops/pallas/gn_stats.py, leaving the
+    # affine apply as fusible jnp. Off by default: on this UNet each custom
+    # call pays a conv-layout transpose copy that outweighs the 2.3x
+    # op-level kernel win (measured -21% end-to-end; docs/performance.md).
+    # Exposed end-to-end so other shapes/models can A/B it.
+    gn_pallas_stats: bool = False
     # Per-block rematerialization (jax.checkpoint on every residual /
     # attention block): backward recomputes block interiors instead of
     # storing them — the HBM-for-FLOPs trade that fits CelebA-HQ 256^2 at
@@ -214,12 +225,14 @@ class UNet(nn.Module):
         def block(h, out_ch, level, name):
             h = ResBlock(
                 out_ch, drop_rate=self.drop_rate, dtype=self.dtype,
-                fuse_gn=self.fuse_gn, name=f"{name}_res"
+                fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
+                name=f"{name}_res"
             )(h, t_emb, train)
             if self._apply_attn(level):
                 h = AttnBlock(
                     dtype=self.dtype, use_flash=self.use_flash,
-                    fuse_gn=self.fuse_gn, name=f"{name}_attn",
+                    fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
+                    name=f"{name}_attn",
                 )(h)
             return h
 
@@ -242,14 +255,17 @@ class UNet(nn.Module):
         # --- middle ---
         h = ResBlock(
             chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
-            fuse_gn=self.fuse_gn, name="mid_res1",
+            fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
+            name="mid_res1",
         )(hs[-1], t_emb, train)
         h = AttnBlock(
-            dtype=self.dtype, use_flash=self.use_flash, fuse_gn=self.fuse_gn, name="mid_attn"
+            dtype=self.dtype, use_flash=self.use_flash, fuse_gn=self.fuse_gn,
+            gn_pallas_stats=self.gn_pallas_stats, name="mid_attn"
         )(h)
         h = ResBlock(
             chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
-            fuse_gn=self.fuse_gn, name="mid_res2",
+            fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
+            name="mid_res2",
         )(h, t_emb, train)
 
         # --- up path ---
@@ -262,7 +278,8 @@ class UNet(nn.Module):
         assert not hs
 
         # --- output ---
-        h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn, name="out_norm")(h)
+        h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn,
+                        pallas_stats=self.gn_pallas_stats, name="out_norm")(h)
         h = nn.Conv(
             self.out_channels * self.block_size**2, (3, 3), padding="SAME",
             kernel_init=ZERO_INIT, dtype=self.dtype, name="out_conv",
@@ -299,6 +316,9 @@ def build_unet(
     dtype=jnp.float32,
     block_size: int = 1,
     remat: bool = False,
+    fuse_gn: bool = False,
+    use_flash: bool = False,
+    gn_pallas_stats: bool = False,
 ) -> UNet:
     """Build a UNet from a config 'model' section plus dataset channel count.
 
@@ -321,4 +341,7 @@ def build_unet(
         block_size=model_cfg.get("block_size", block_size) or 1,
         dtype=dtype,
         remat=bool(model_cfg.get("remat", remat)),
+        fuse_gn=bool(model_cfg.get("fuse_gn", fuse_gn)),
+        use_flash=bool(model_cfg.get("use_flash", use_flash)),
+        gn_pallas_stats=bool(model_cfg.get("gn_pallas_stats", gn_pallas_stats)),
     )

@@ -58,9 +58,14 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
     return best
 
 
-def _pick_rows(n: int, c: int, itemsize: int) -> int:
-    """Largest divisor of n whose (rows, C) block stays under ~1 MiB."""
-    cap = max(1, (1 << 20) // max(1, c * itemsize))
+def _pick_rows(n: int, c: int, itemsize: int, num_operands: int = 1) -> int:
+    """Largest divisor of n whose input blocks stay under ~1 MiB TOTAL.
+
+    ``num_operands`` scales the budget: the cross (backward) kernel loads
+    two (rows, C) blocks per grid step (x and dy), so its per-operand cap
+    is half the sumsq kernel's.
+    """
+    cap = max(1, (1 << 20) // max(1, c * itemsize * num_operands))
     return _largest_divisor_leq(n, min(cap, n))
 
 
@@ -69,7 +74,8 @@ def supports(shape, c_axis_multiple: int = 128, itemsize: int = 4) -> bool:
 
     ``itemsize`` is the input dtype's byte width; callers that don't pass it
     get the f32 worst case so the predicate never approves a shape whose
-    actual kernel launch would degrade to rows=1 blocks.
+    actual kernel launch would degrade to rows=1 blocks. Budgets for the
+    two-operand backward kernel (the tighter of the two launches).
     """
     if len(shape) != 3:
         return False
@@ -77,7 +83,7 @@ def supports(shape, c_axis_multiple: int = 128, itemsize: int = 4) -> bool:
     if c % c_axis_multiple != 0:
         return False
     # need a sensible row block; prime/awkward N falls back to jnp
-    return _pick_rows(n, c, itemsize) >= min(n, 8)
+    return _pick_rows(n, c, itemsize, num_operands=2) >= min(n, 8)
 
 
 def _sumsq_kernel(x_ref, s1_ref, s2_ref):
@@ -117,7 +123,7 @@ def _cross_kernel(x_ref, g_ref, s1_ref, s2_ref):
 
 def _row_block_call(kernel, args, interpret: bool):
     b, n, c = args[0].shape
-    rows = _pick_rows(n, c, args[0].dtype.itemsize)
+    rows = _pick_rows(n, c, args[0].dtype.itemsize, num_operands=len(args))
     grid = (b, n // rows)
     in_spec = pl.BlockSpec((1, rows, c), lambda bi, j: (bi, j, 0), memory_space=pltpu.VMEM)
     # outputs are (B, 1, C) so the trailing block dims equal the array dims

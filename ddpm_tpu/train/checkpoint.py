@@ -126,8 +126,16 @@ def load_checkpoint(state, chkpt_dir: str, epoch: Optional[int] = None) -> Tuple
                         lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
                         tree[k],
                     )
-            except Exception:
-                # metadata layout surprise: fall back to a throwaway restore
+            except (AttributeError, TypeError, KeyError) as e:
+                # metadata layout surprise: fall back to a throwaway restore.
+                # Narrowed to shape-introspection failures and logged so a
+                # genuinely corrupt checkpoint isn't silently converted into
+                # an expensive full restore with a less clear error.
+                print(
+                    f"checkpoint metadata widening failed ({e!r}); "
+                    "falling back to a full restore for shape structs",
+                    flush=True,
+                )
                 full_meta = _checkpointer().restore(path)
                 for k in extra_saved:
                     widened[k] = jax.tree.map(ocp.utils.to_shape_dtype_struct, full_meta[k])

@@ -117,12 +117,18 @@ def main():
         print(f"fid: {results['fid']:.4f}", flush=True)
 
     if "pr" in args.metrics:
-        # cache key must encode the embedding: a manifold built with
-        # Inception features (VGG weights absent) must not be reused once
-        # the VGG weights appear, and vice versa
+        # cache key must encode everything that changes the stored manifold:
+        # the embedding (Inception fallback vs VGG), the neighborhood size
+        # (kth-neighbor radii are k-dependent), and the feature-set size.
+        # The reference keys only on dataset (eval.py:114-122) and silently
+        # reuses a manifold built with a different --nhood-size; we don't.
+        # row/col batch sizes are compute tiling only — they do not alter
+        # the radii — so they stay out of the key.
         emb = "vgg" if os.path.exists(VGG_WEIGHTS) else "inception"
         manifold_path = os.path.join(
-            args.precomputed_dir, f"pr_manifold_{args.dataset}_{emb}.npz"
+            args.precomputed_dir,
+            f"pr_manifold_{args.dataset}_{emb}"
+            f"_k{args.nhood_size}_n{args.eval_total_size}.npz",
         )
         kw = dict(
             nhood_size=args.nhood_size,

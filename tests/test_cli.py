@@ -183,13 +183,18 @@ def test_eval_cli_end_to_end_with_injected_extractor(tmp_path, monkeypatch, caps
     )
     out = capsys.readouterr().out
     assert "fid:" in out and "precision:" in out
-    # dataset stats and the true-data PR manifold were cached for reuse
+    # dataset stats and the true-data PR manifold were cached for reuse;
+    # the manifold cache key encodes embedding + nhood size + total size
+    # (the reference reuses a stale manifold across --nhood-size values,
+    # reference eval.py:114-122 — we key on it instead)
+    manifold_k3 = tmp_path / "precomputed" / "pr_manifold_fakedata_inception_k3_n64.npz"
     assert (tmp_path / "precomputed" / "fid_stats_fakedata.npz").exists()
-    assert (tmp_path / "precomputed" / "pr_manifold_fakedata_inception.npz").exists()
+    assert manifold_k3.exists()
     text = (tmp_path / "metrics.txt").read_text()
     assert "fid" in text and "precision" in text
 
     # second run consumes both caches (get_precomputed + manifold load)
+    k3_mtime = manifold_k3.stat().st_mtime_ns
     run_main(
         eval_cli,
         [
@@ -203,3 +208,24 @@ def test_eval_cli_end_to_end_with_injected_extractor(tmp_path, monkeypatch, caps
         ],
     )
     assert "fid:" in capsys.readouterr().out
+    assert manifold_k3.stat().st_mtime_ns == k3_mtime  # cache reused, not rebuilt
+
+    # a different --nhood-size must NOT reuse the k=3 manifold: kth-neighbor
+    # radii are k-dependent, so a fresh cache entry is built
+    run_main(
+        eval_cli,
+        [
+            "--dataset", "fakedata",
+            "--sample-folder", str(sample_dir),
+            "--batch-size", "32",
+            "--eval-total-size", "64",
+            "--metrics", "pr",
+            "--nhood-size", "5",
+            "--precomputed-dir", str(tmp_path / "precomputed"),
+            "--row-batch-size", "64",
+            "--col-batch-size", "64",
+        ],
+    )
+    assert "precision:" in capsys.readouterr().out
+    assert (tmp_path / "precomputed" / "pr_manifold_fakedata_inception_k5_n64.npz").exists()
+    assert manifold_k3.stat().st_mtime_ns == k3_mtime  # k=3 entry untouched

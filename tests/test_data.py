@@ -202,3 +202,40 @@ def test_celebahq_legacy_order(tmp_path):
     for j, nm in enumerate(names):
         v = int(nm.split(".")[0]) * 30
         assert np.all(batch[j] == v), (j, nm)
+
+
+def test_celebahq_legacy_order_unpadded_names(tmp_path):
+    """Non-zero-padded filenames must be sorted NUMERICALLY by stem, with
+    non-.png files filtered out, before the seeded shuffle — exactly the
+    reference's `sorted(..., key=int(name[:-4].zfill(5)))` over `.png` files
+    (reference datasets.py:181-186). Lexicographic order ("10.png" < "2.png")
+    would feed the RandomState(123) shuffle a different base permutation."""
+    import os
+
+    from PIL import Image
+
+    from ddpm_tpu.data.datasets import CelebA_HQ
+
+    img_dir = tmp_path / "celeba_hq" / "img_celeba_hq"
+    img_dir.mkdir(parents=True)
+    n = 12  # "2.png" sorts after "10.png" lexicographically
+    for i in range(n):
+        Image.fromarray(np.full((16, 16, 3), i * 20, np.uint8)).save(
+            img_dir / f"{i}.png"
+        )
+    # stray non-png files the reference filters out
+    (img_dir / "index.txt").write_text("junk")
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_dir / "0.jpg")
+
+    ds = CelebA_HQ(root=str(tmp_path))
+    assert len(ds) == n
+    # reference computation, verbatim semantics
+    ref_names = sorted(
+        [f for f in os.listdir(img_dir) if f.endswith(".png")],
+        key=lambda name: int(name[:-4].zfill(5)),
+    )
+    np.random.RandomState(123).shuffle(ref_names)
+    batch = ds.get_batch(np.arange(n))
+    for j, nm in enumerate(ref_names):
+        v = int(nm[:-4]) * 20
+        assert np.all(batch[j] == v), (j, nm)

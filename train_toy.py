@@ -46,7 +46,10 @@ def main():
     parser.add_argument("--eval-size", default=30000, type=int)
     parser.add_argument("--seed", default=1234, type=int)
     parser.add_argument("--resume", action="store_true",
-                        help="resume training from the latest checkpoint in --chkpt-dir")
+                        help="resume training from the latest checkpoint in --chkpt-dir "
+                             "(note: the per-update LR warmup multiplier is quantized by "
+                             "num_batches = --size // --batch-size, so resuming with a "
+                             "different --size/--batch-size shifts the warmup schedule)")
     args = parser.parse_args()
 
     from ddpm_tpu.data.toy import TOY_DATASETS, DataStreamer
@@ -107,8 +110,13 @@ def main():
     start_epoch = 0
     if args.resume:
         state, start_epoch = load_checkpoint(state, args.chkpt_dir)
-        # keep the RNG stream disjoint from the epochs already trained
+        # keep BOTH RNG streams disjoint from the epochs already trained:
+        # the JAX key drives t/noise draws, and numpy's global state drives
+        # the DataStreamer's per-epoch resampling — without reseeding numpy
+        # the resumed run would replay exactly the batches of epochs
+        # 0..start_epoch-1
         key = jax.random.fold_in(key, start_epoch)
+        seed_all(args.seed + start_epoch)
         print(f"resumed from epoch {start_epoch}", flush=True)
 
     for epoch in range(start_epoch, args.epochs):
