@@ -35,8 +35,16 @@ def main():
     parser.add_argument("--beta-end", default=0.2, type=float)
     parser.add_argument("--model-mean-type", choices=["mean", "x_0", "eps"], default="eps")
     parser.add_argument("--model-var-type", choices=["learned", "fixed-small", "fixed-large"],
-                        default="fixed-small")
+                        default="fixed-large",
+                        help="default matches the reference TOY default (train_toy.py:28), "
+                             "which is fixed-large — unlike the image configs")
     parser.add_argument("--loss-type", choices=["kl", "mse"], default="mse")
+    parser.add_argument("--grad-norm", default=0.0, type=float,
+                        help="global-norm gradient clip; 0 disables it "
+                             "(the reference toy trainer disables clipping, train_toy.py:99)")
+    parser.add_argument("--resample", action="store_true",
+                        help="redraw the toy dataset every epoch (the reference streams the "
+                             "same size-point draw each epoch, toy_data.py:117/134)")
     parser.add_argument("--mid-features", default=128, type=int)
     parser.add_argument("--num-temporal-layers", default=3, type=int)
     parser.add_argument("--image-dir", default="./images/train_toy", type=str)
@@ -70,7 +78,7 @@ def main():
 
     seed_all(args.seed)
     num_batches = args.size // args.batch_size
-    streamer = DataStreamer(args.dataset, args.batch_size, num_batches, resample=True)
+    streamer = DataStreamer(args.dataset, args.batch_size, num_batches, resample=args.resample)
 
     betas = get_beta_schedule(args.beta_schedule, args.beta_start, args.beta_end, args.timesteps)
     diffusion = ToyGaussianDiffusion.create(
@@ -88,7 +96,7 @@ def main():
     # trainer (toy_utils.py:92-93); warmup_stride quantizes the per-update
     # schedule to the same multiplier sequence
     tx = make_optimizer(
-        lr=args.lr, grad_norm=1.0, warmup=args.lr_warmup,
+        lr=args.lr, grad_norm=args.grad_norm, warmup=args.lr_warmup,
         warmup_stride=num_batches, beta1=args.beta1, beta2=args.beta2,
     )
     state = TrainState.create(params, tx, use_ema=False)
