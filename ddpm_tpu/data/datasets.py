@@ -53,23 +53,41 @@ class ArrayDataset:
 
 
 class FileDataset:
-    """Lazily-decoded image-folder dataset (decode on batch fetch)."""
+    """Lazily-decoded image-folder dataset (decode on batch fetch).
+
+    Decoding runs on a persistent thread pool (the reference's
+    num_workers role, ddpm_torch/train.py:139): PIL/numpy decode releases
+    the GIL, and reusing the pool avoids thread spawn/teardown per batch.
+    """
 
     random_flip: bool = False
 
-    def __init__(self, files: List[str], decode):
+    def __init__(self, files: List[str], decode, num_workers: int = 16):
         self.files = files
         self._decode = decode
+        self._num_workers = num_workers
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def get_batch(self, indices: np.ndarray) -> np.ndarray:
-        from concurrent.futures import ThreadPoolExecutor
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
 
+            self._pool = ThreadPoolExecutor(
+                max_workers=self._num_workers, thread_name_prefix="decode"
+            )
+        return self._pool
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_pool"] = None  # executors don't pickle; recreate lazily
+        return state
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
         paths = [self.files[i] for i in indices]
-        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
-            return np.stack(list(ex.map(self._decode, paths)))
+        return np.stack(list(self._executor().map(self._decode, paths)))
 
 
 def _read_idx(path: str) -> np.ndarray:

@@ -108,25 +108,27 @@ class ShardedLoader:
         # gather+flip+normalize kernel (GIL-free, multithreaded)
         from .. import native
 
-        use_native = (
-            not self.raw
-            and not self.device_normalize
-            and native.available()
-            and hasattr(self.dataset, "images")
+        in_memory_u8 = (
+            hasattr(self.dataset, "images")
             and getattr(self.dataset.images, "flags", None) is not None
             and self.dataset.images.flags.c_contiguous
         )
+        use_native = not self.raw and not self.device_normalize and in_memory_u8 and native.available()
+        # device_normalize path: uint8 in, uint8 out — the C++ kernel does
+        # the gather + flips (numpy would copy per-image in Python otherwise)
+        use_native_u8 = (
+            not self.raw and self.device_normalize and in_memory_u8 and native.u8_available()
+        )
         for start in range(0, end, self.local_batch):
             batch_idx = idx[start : start + self.local_batch]
-            if use_native:
+            if use_native or use_native_u8:
                 flips = (
                     (rng.random(len(batch_idx)) < 0.5).astype(np.uint8)
                     if do_flip
                     else None
                 )
-                yield native.gather_flip_normalize(
-                    self.dataset.images, batch_idx, flips
-                )
+                kernel = native.gather_flip_u8 if use_native_u8 else native.gather_flip_normalize
+                yield kernel(self.dataset.images, batch_idx, flips)
                 continue
             batch = self.dataset.get_batch(batch_idx)
             if self.raw:

@@ -88,6 +88,54 @@ void gather_flip_normalize(const uint8_t* images, const int64_t* indices,
   for (auto& th : threads) th.join();
 }
 
+// uint8 -> uint8 gather + per-example horizontal flip, NO normalize: the
+// batch-prep kernel for the device_normalize=True path, where the [-1,1]
+// normalize runs inside the jitted train step and the host ships 4x-smaller
+// uint8 batches (data/loader.py device_normalize).
+void gather_flip_u8(const uint8_t* images, const int64_t* indices, int64_t n,
+                    int64_t h, int64_t w, int64_t c, const uint8_t* flips,
+                    uint8_t* out, int num_threads) {
+  const int64_t stride = h * w * c;
+  int nt = num_threads > 0
+               ? num_threads
+               : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > n) nt = static_cast<int>(n);
+
+  auto work = [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      const uint8_t* src = images + indices[i] * stride;
+      uint8_t* dst = out + i * stride;
+      if (flips == nullptr || flips[i] == 0) {
+        std::memcpy(dst, src, static_cast<size_t>(stride));
+        continue;
+      }
+      const int64_t row_bytes = w * c;
+      for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* row = src + y * row_bytes;
+        uint8_t* orow = dst + y * row_bytes;
+        for (int64_t x = 0; x < w; ++x)
+          std::memcpy(orow + x * c, row + (w - 1 - x) * c,
+                      static_cast<size_t>(c));
+      }
+    }
+  };
+
+  if (nt == 1) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t begin = t * chunk;
+    const int64_t end = begin + chunk < n ? begin + chunk : n;
+    if (begin >= end) break;
+    threads.emplace_back(work, begin, end);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // uint8 conversion of sampler output: clip(round(x * 127.5 + 127.5), 0, 255)
 // (reference generate.py:129), multithreaded over the batch.
 void float_to_uint8(const float* in, int64_t n_elems, uint8_t* out,

@@ -29,6 +29,12 @@ def main():
     parser.add_argument("--config-dir", default=None, type=str)
     parser.add_argument("--chkpt-dir", default="./chkpts", type=str)
     parser.add_argument("--chkpt-path", default="", type=str)
+    parser.add_argument(
+        "--params-npz", default="", type=str,
+        help="load model weights from a converted reference checkpoint "
+        "(scripts/convert_checkpoint.py output) instead of an Orbax "
+        "checkpoint dir — the FID-parity-gate path",
+    )
     parser.add_argument("--save-dir", default="./images/eval", type=str)
     parser.add_argument("--use-ema", action="store_true")
     parser.add_argument("--use-ddim", action="store_true")
@@ -93,12 +99,17 @@ def main():
         )
 
     # fail fast on a missing checkpoint BEFORE the (expensive) model build
-    from ddpm_tpu.train.checkpoint import latest_epoch, resolve_checkpoint
+    chkpt = None
+    if args.params_npz:
+        if not os.path.exists(args.params_npz):
+            raise SystemExit(f"error: params npz not found: {args.params_npz!r}")
+    else:
+        from ddpm_tpu.train.checkpoint import latest_epoch, resolve_checkpoint
 
-    chkpt = args.chkpt_path or os.path.join(args.chkpt_dir, f"ddpm_{dataset}")
-    chkpt_run, chkpt_epoch = resolve_checkpoint(chkpt)
-    if chkpt_epoch is None and latest_epoch(chkpt_run) is None:
-        raise SystemExit(f"error: no checkpoint found under {chkpt!r}")
+        chkpt = args.chkpt_path or os.path.join(args.chkpt_dir, f"ddpm_{dataset}")
+        chkpt_run, chkpt_epoch = resolve_checkpoint(chkpt)
+        if chkpt_epoch is None and latest_epoch(chkpt_run) is None:
+            raise SystemExit(f"error: no checkpoint found under {chkpt!r}")
 
     info = DATASET_INFO[dataset]
     res, channels = info["resolution"][0], info["channels"]
@@ -113,8 +124,25 @@ def main():
     )["params"]
     tx = make_optimizer(lr=1e-4)
     state = TrainState.create(params, tx, use_ema=True)
-    state, epoch = load_checkpoint(state, chkpt)
-    print(f"loaded checkpoint @ epoch {epoch} (step {int(state.step)})")
+    if args.params_npz:
+        # converted reference weights: install as BOTH live and EMA params so
+        # --use-ema and plain sampling read the same tree (the converter
+        # already selected ema.shadow vs model via its --use-ema flag)
+        from flax.traverse_util import unflatten_dict
+
+        data = np.load(args.params_npz)
+        loaded = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
+        if jax.tree.structure(loaded) != jax.tree.structure(params):
+            raise SystemExit(
+                f"error: {args.params_npz!r} does not match the "
+                f"'{dataset}' model config (wrong --config at conversion?)"
+            )
+        loaded = jax.tree.map(lambda a, p: jnp.asarray(a, p.dtype), loaded, params)
+        state = state.replace(params=loaded, ema_params=loaded)
+        print(f"loaded converted params from {args.params_npz}")
+    else:
+        state, epoch = load_checkpoint(state, chkpt)
+        print(f"loaded checkpoint @ epoch {epoch} (step {int(state.step)})")
 
     mesh = make_mesh()
     sample_fn = make_sample_fn(
@@ -161,6 +189,11 @@ def main():
         print(f"wrote {len(preds)} progressive frames to {frames_dir}")
         return
 
+    # uint8 conversion: multithreaded C++ kernel when built, numpy otherwise
+    from ddpm_tpu import native
+
+    convert_u8 = native.float_to_uint8 if native.available() else to_uint8
+
     key = jax.random.key(args.seed)
     num_batches = math.ceil(args.total_size / args.batch_size)
     written = 0
@@ -172,7 +205,7 @@ def main():
             # multi-host: each process writes only the rows its devices own
             # (rank-sharded generation, reference generate.py:105-110)
             local = addressable_rows(x, n)
-            list(pool.map(save_png, to_uint8(local)))
+            list(pool.map(save_png, convert_u8(local)))
             written += n
             print(f"{written}/{args.total_size}", flush=True)
     print(f"wrote {written} PNGs to {save_dir}")

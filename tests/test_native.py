@@ -56,3 +56,38 @@ def test_loader_native_path_matches_reference_path():
         nat.available = orig
     for x, y in zip(batches_native, batches_numpy):
         np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+def test_gather_flip_u8_matches_numpy():
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (20, 8, 8, 3), dtype=np.uint8)
+    idx = np.array([3, 11, 0, 19], np.int64)
+    flips = np.array([1, 0, 1, 0], np.uint8)
+    out = native.gather_flip_u8(imgs, idx, flips)
+    assert out.dtype == np.uint8
+    expect = imgs[idx].copy()
+    expect[flips.astype(bool)] = expect[flips.astype(bool)][:, :, ::-1]
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_loader_device_normalize_native_matches_numpy():
+    """device_normalize=True (the production train path, train.py) must
+    yield identical uint8 batches through the native u8 kernel and the
+    numpy fallback, including the flip RNG stream."""
+    import ddpm_tpu.native as nat
+
+    ds = FakeData(size=64, resolution=8)
+    ds.random_flip = True
+    a = ShardedLoader(ds, 16, seed=5, device_normalize=True)
+    batches_native = [b.copy() for b in a]
+    assert batches_native and batches_native[0].dtype == np.uint8
+
+    orig = nat.u8_available
+    nat.u8_available = lambda: False
+    try:
+        b = ShardedLoader(ds, 16, seed=5, device_normalize=True)
+        batches_numpy = list(b)
+    finally:
+        nat.u8_available = orig
+    for x, y in zip(batches_native, batches_numpy):
+        np.testing.assert_array_equal(x, y)
