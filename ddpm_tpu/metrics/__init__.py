@@ -39,11 +39,16 @@ __all__ = [
     "VGG_WEIGHTS",
 ]
 
-INCEPTION_WEIGHTS = os.path.join(
-    os.path.expanduser("~/.cache/ddpm_tpu"), "fid_inception_v3.npz"
+# Converted-weight locations; the INCEPTION_NPZ / VGG_NPZ env vars override
+# (used by scripts/parity_gate.sh and its offline rehearsal to point at
+# seeded stand-in weights without touching ~/.cache).
+INCEPTION_WEIGHTS = os.environ.get(
+    "INCEPTION_NPZ",
+    os.path.join(os.path.expanduser("~/.cache/ddpm_tpu"), "fid_inception_v3.npz"),
 )
-VGG_WEIGHTS = os.path.join(
-    os.path.expanduser("~/.cache/ddpm_tpu"), "vgg16_stylegan2.npz"
+VGG_WEIGHTS = os.environ.get(
+    "VGG_NPZ",
+    os.path.join(os.path.expanduser("~/.cache/ddpm_tpu"), "vgg16_stylegan2.npz"),
 )
 
 

@@ -77,14 +77,6 @@ def main():
         extract = make_feature_extractor(load_inception_variables(INCEPTION_WEIGHTS))
     except FileNotFoundError as e:
         raise SystemExit(f"error: {e}")
-    # PR uses the StyleGAN2-ADA VGG16 embedding when the converted weights
-    # exist (reference precision_recall.py:22-40); otherwise it degrades to
-    # the Inception pool features (documented fallback, metrics/vgg.py).
-    if os.path.exists(VGG_WEIGHTS):
-        pr_extract = make_vgg_extractor(load_vgg_variables(VGG_WEIGHTS))
-    else:
-        print("note: VGG16 weights absent; using Inception features for PR", flush=True)
-        pr_extract = extract
 
     def raw_data_batches():
         loader, _ = get_dataloader(
@@ -117,6 +109,15 @@ def main():
         print(f"fid: {results['fid']:.4f}", flush=True)
 
     if "pr" in args.metrics:
+        # PR uses the StyleGAN2-ADA VGG16 embedding when the converted
+        # weights exist (reference precision_recall.py:22-40); otherwise it
+        # degrades to the Inception pool features (documented fallback,
+        # metrics/vgg.py).
+        if os.path.exists(VGG_WEIGHTS):
+            pr_extract = make_vgg_extractor(load_vgg_variables(VGG_WEIGHTS))
+        else:
+            print("note: VGG16 weights absent; using Inception features for PR", flush=True)
+            pr_extract = extract
         # cache key must encode everything that changes the stored manifold:
         # the embedding (Inception fallback vs VGG), the neighborhood size
         # (kth-neighbor radii are k-dependent), and the feature-set size.
