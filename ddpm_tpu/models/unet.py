@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Sequence, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..nn.modules import (
@@ -71,6 +72,25 @@ class AttentionBlock(nn.Module):
         return h + skip
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree (``{kernel, bias}``) so the
+    fused conv+GN-stats path shares checkpoints with the nn.Conv path."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel",
+            DEFAULT_INIT,
+            (self.kernel_size, self.kernel_size, in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class ResidualBlock(nn.Module):
     """Pre-activation residual block with additive timestep conditioning.
 
@@ -84,9 +104,20 @@ class ResidualBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fuse_gn: bool = False
     gn_pallas_stats: bool = False
+    # conv1's GroupNorm statistics from the conv's own epilogue: the
+    # implicit-GEMM Pallas kernel (ops/pallas/conv_gn.py) emits
+    # (y, sum y, sum y^2) in one pass, and norm2 normalizes from those sums
+    # with the t-embedding shift folded in algebraically — the pre-norm
+    # activation is never re-read. Only the conv1 -> (+emb) -> norm2 pair
+    # qualifies (norm1's input adds a full skip tensor, which has no
+    # closed-form stats adjustment). Parameter tree is unchanged, so
+    # checkpoints are interchangeable with the unfused path.
+    fuse_conv_gn: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, train: bool = False):
+        from ..ops.pallas import conv_gn
+
         in_ch = x.shape[-1]
         skip = x
         if in_ch != self.out_channels:
@@ -95,20 +126,39 @@ class ResidualBlock(nn.Module):
             )(x)
         h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn,
                         pallas_stats=self.gn_pallas_stats, name="norm1")(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME",
-            kernel_init=DEFAULT_INIT, dtype=self.dtype, name="conv1",
-        )(h)
+        w_shape = (3, 3, h.shape[-1], self.out_channels)
+        use_conv_gn = (
+            self.fuse_conv_gn
+            and (jax.default_backend() == "tpu" or conv_gn.FORCE_INTERPRET)
+            and conv_gn.supports(h.shape, w_shape)
+        )
         emb = nn.Dense(
             self.out_channels, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="fc"
         )(nn.silu(t_emb))
-        h = h + emb[:, None, None, :]
-        # norm2 folds SiLU + dropout into the same (fused) op — the dropout
-        # mask comes from the hardware PRNG on the fused TPU path
-        h = GroupNorm32(
-            dtype=self.dtype, with_silu=True, drop_rate=self.drop_rate,
-            fuse=self.fuse_gn, pallas_stats=self.gn_pallas_stats, name="norm2",
-        )(h, deterministic=not train)
+        if use_conv_gn:
+            kernel, bias = _ConvParams(
+                self.out_channels, kernel_size=3, name="conv1"
+            )(h.shape[-1])
+            h, s1, s2 = conv_gn.conv3x3_gn_stats(
+                h, kernel.astype(h.dtype), bias.astype(jnp.float32),
+                4, conv_gn.FORCE_INTERPRET,
+            )
+            h = GroupNorm32(
+                dtype=self.dtype, with_silu=True, drop_rate=self.drop_rate,
+                name="norm2",
+            )(h, deterministic=not train, stats=(s1, s2), shift=emb)
+        else:
+            h = nn.Conv(
+                self.out_channels, (3, 3), padding="SAME",
+                kernel_init=DEFAULT_INIT, dtype=self.dtype, name="conv1",
+            )(h)
+            h = h + emb[:, None, None, :]
+            # norm2 folds SiLU + dropout into the same (fused) op — the
+            # dropout mask comes from the hardware PRNG on the fused TPU path
+            h = GroupNorm32(
+                dtype=self.dtype, with_silu=True, drop_rate=self.drop_rate,
+                fuse=self.fuse_gn, pallas_stats=self.gn_pallas_stats, name="norm2",
+            )(h, deterministic=not train)
         h = nn.Conv(
             self.out_channels, (3, 3), padding="SAME",
             kernel_init=ZERO_INIT, dtype=self.dtype, name="conv2",
@@ -189,6 +239,14 @@ class UNet(nn.Module):
     # op-level kernel win (measured -21% end-to-end; docs/performance.md).
     # Exposed end-to-end so other shapes/models can A/B it.
     gn_pallas_stats: bool = False
+    # Fuse each ResidualBlock's conv1 with norm2's statistics via the
+    # implicit-GEMM Pallas conv (ops/pallas/conv_gn.py): the conv epilogue
+    # emits (sum y, sum y^2) while the tile is in VMEM, and the t-embedding
+    # shift folds into the stats algebraically, so the pre-norm activation
+    # is never re-read for E[x], E[x^2]. Measured A/B at the CIFAR level-0
+    # shape: forward parity with XLA's conv, 1.24x faster fwd+bwd
+    # (scripts/bench_conv_gn.py; end-to-end number in docs/performance.md).
+    fuse_conv_gn: bool = False
     # Per-block rematerialization (jax.checkpoint on every residual /
     # attention block): backward recomputes block interiors instead of
     # storing them — the HBM-for-FLOPs trade that fits CelebA-HQ 256^2 at
@@ -226,7 +284,7 @@ class UNet(nn.Module):
             h = ResBlock(
                 out_ch, drop_rate=self.drop_rate, dtype=self.dtype,
                 fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
-                name=f"{name}_res"
+                fuse_conv_gn=self.fuse_conv_gn, name=f"{name}_res"
             )(h, t_emb, train)
             if self._apply_attn(level):
                 h = AttnBlock(
@@ -256,7 +314,7 @@ class UNet(nn.Module):
         h = ResBlock(
             chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
             fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
-            name="mid_res1",
+            fuse_conv_gn=self.fuse_conv_gn, name="mid_res1",
         )(hs[-1], t_emb, train)
         h = AttnBlock(
             dtype=self.dtype, use_flash=self.use_flash, fuse_gn=self.fuse_gn,
@@ -265,7 +323,7 @@ class UNet(nn.Module):
         h = ResBlock(
             chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
             fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
-            name="mid_res2",
+            fuse_conv_gn=self.fuse_conv_gn, name="mid_res2",
         )(h, t_emb, train)
 
         # --- up path ---
@@ -319,6 +377,7 @@ def build_unet(
     fuse_gn: bool = False,
     use_flash: bool = False,
     gn_pallas_stats: bool = False,
+    fuse_conv_gn: bool = False,
 ) -> UNet:
     """Build a UNet from a config 'model' section plus dataset channel count.
 
@@ -344,4 +403,5 @@ def build_unet(
         fuse_gn=bool(model_cfg.get("fuse_gn", fuse_gn)),
         use_flash=bool(model_cfg.get("use_flash", use_flash)),
         gn_pallas_stats=bool(model_cfg.get("gn_pallas_stats", gn_pallas_stats)),
+        fuse_conv_gn=bool(model_cfg.get("fuse_conv_gn", fuse_conv_gn)),
     )

@@ -105,8 +105,26 @@ class GroupNorm32(nn.Module):
     pallas_stats: bool = False
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, stats=None, shift=None):
         drop = self.drop_rate if not deterministic else 0.0
+        if stats is not None:
+            # Stats supplied by the producing convolution's epilogue
+            # (ops/pallas/conv_gn.py): no re-read of x for E[x], E[x^2].
+            # ``shift`` is the per-(batch, channel) constant added before
+            # normalizing (the ResidualBlock's broadcast t-embedding); its
+            # effect on the group statistics is folded in algebraically.
+            from ..ops.pallas.conv_gn import gn_from_stats
+
+            scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+            s1, s2 = stats
+            y = gn_from_stats(
+                x, s1, s2, scale, bias, self.num_groups, self.epsilon, shift=shift
+            ).astype(self.dtype)
+            if self.with_silu:
+                y = nn.silu(y)
+            if drop > 0.0:
+                y = nn.Dropout(self.drop_rate, deterministic=False)(y)
+            return y
         if self.fuse:
             from ..ops.pallas.group_norm import fused_group_norm_silu
 

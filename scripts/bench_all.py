@@ -36,7 +36,7 @@ def _sync(x):
     value_sync(x)
 
 
-def _build(config_name: str, batch: int, remat: bool = False):
+def _build(config_name: str, batch: int, remat: bool = False, fuse_conv_gn: bool = False):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ddpm_tpu.diffusion import GaussianDiffusion
@@ -56,7 +56,9 @@ def _build(config_name: str, batch: int, remat: bool = False):
         betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"]
     )
     res = {"cifar10": 32, "celeba": 64, "celebahq": 256}[config_name]
-    model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16, remat=remat)
+    model = build_unet(
+        cfg["model"], 3, dtype=jnp.bfloat16, remat=remat, fuse_conv_gn=fuse_conv_gn
+    )
     x = jnp.zeros((batch, res, res, 3), jnp.float32)
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(model.init, static_argnums=())(jax.random.key(0), x, t)["params"]
@@ -69,10 +71,11 @@ def _build(config_name: str, batch: int, remat: bool = False):
     return model, diffusion, state, mesh, shard_batch(x, mesh), res
 
 
-def bench_train(config_name: str, batch: int, steps: int, remat: bool = False):
+def bench_train(config_name: str, batch: int, steps: int, remat: bool = False,
+                fuse_conv_gn: bool = False):
     from ddpm_tpu.train import make_train_step
 
-    model, diffusion, state, mesh, x, _ = _build(config_name, batch, remat)
+    model, diffusion, state, mesh, x, _ = _build(config_name, batch, remat, fuse_conv_gn)
     step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
     key = jax.random.key(0)
     for i in range(3):
@@ -118,6 +121,72 @@ def bench_loop(steps: int):
     n += 1
     _sync(loss)
     dt = time.perf_counter() - t0
+    return batch * n / dt / jax.device_count()
+
+
+def _make_png_folder(path: str, n: int, size):
+    """Synthesize a PNG folder (CelebA-like source files) once, reuse after."""
+    from PIL import Image
+    import numpy as np
+
+    if os.path.isdir(path) and len(os.listdir(path)) >= n:
+        return
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 256, (size[1], size[0], 3), dtype="uint8")
+        Image.fromarray(arr).save(os.path.join(path, f"{i:06d}.png"))
+
+
+def bench_file_loop(steps: int):
+    """Trainer loop over a DISK PNG folder at CelebA 64^2 shapes: persistent
+    decoder-pool FileDataset (crop 178x218 -> resize 64, the real CelebA
+    decode) + uint8 ship + prefetch + fused step. Isolates whether PNG
+    decode keeps up with the step rate (VERDICT r2 weak-4)."""
+    import numpy as np
+
+    from ddpm_tpu.data.datasets import FileDataset, _decode_celeba
+    from ddpm_tpu.data.loader import ShardedLoader
+    from ddpm_tpu.parallel import batch_sharding, stage_global_batch
+    from ddpm_tpu.train import make_train_step
+
+    batch = 128
+    n_imgs = batch * (steps + 1)
+    folder = "/tmp/bench_pngs_celeba"
+    _make_png_folder(folder, n_imgs, (178, 218))
+
+    files = [os.path.join(folder, n) for n in sorted(os.listdir(folder))][:n_imgs]
+    ds = FileDataset(files, _decode_celeba)
+    ds.random_flip = True
+
+    model, diffusion, state, mesh, x, _ = _build("celeba", batch)
+    step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
+    key = jax.random.key(0)
+    for i in range(3):
+        state, loss = step(state, x.astype(jnp.uint8), jax.random.fold_in(key, i))
+    _sync(loss)
+    # measure the bare decode rate first (no device in the loop)
+    t0 = time.perf_counter()
+    ds.get_batch(np.arange(batch))
+    decode_rate = batch / (time.perf_counter() - t0)
+
+    loader = ShardedLoader(ds, batch, seed=0, device_normalize=True)
+    sharding = batch_sharding(mesh)
+    n = 0
+    t0 = time.perf_counter()
+    pending = None
+    for b in loader:
+        staged = stage_global_batch(b, mesh, sharding=sharding)
+        if pending is not None:
+            state, loss = step(state, pending, jax.random.fold_in(key, 10 + n))
+            n += 1
+        pending = staged
+    state, loss = step(state, pending, jax.random.fold_in(key, 10 + n))
+    n += 1
+    _sync(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"workload": "file_loop_train.decode_only",
+                      "value": round(decode_rate, 2), "unit": "imgs/s"}), flush=True)
     return batch * n / dt / jax.device_count()
 
 
@@ -171,6 +240,7 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
 WORKLOADS = [
     "cifar_train",
     "loop_train",
+    "file_loop_train",
     "celeba_train",
     "hq_train",
     "ddpm_sample",
@@ -182,17 +252,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=",".join(WORKLOADS))
     ap.add_argument("--steps", type=int, default=30, help="train steps per measurement")
+    ap.add_argument("--fuse-conv-gn", action="store_true",
+                    help="A/B knob: conv1+GN-stats epilogue fusion in the train workloads")
     args = ap.parse_args()
     selected = [w.strip() for w in args.only.split(",") if w.strip()]
     results = {}
     for w in selected:
         t0 = time.time()
         if w == "cifar_train":
-            v, u = bench_train("cifar10", 128, args.steps), "imgs/s/chip"
+            v, u = bench_train("cifar10", 128, args.steps,
+                               fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
         elif w == "loop_train":
             v, u = bench_loop(max(args.steps * 2, 20)), "imgs/s/chip"
+        elif w == "file_loop_train":
+            v, u = bench_file_loop(max(args.steps, 20)), "imgs/s/chip"
         elif w == "celeba_train":
-            v, u = bench_train("celeba", 128, max(args.steps // 3, 5)), "imgs/s/chip"
+            v, u = bench_train("celeba", 128, max(args.steps // 3, 5),
+                               fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
         elif w == "hq_train":
             v, u = bench_train("celebahq", 32, max(args.steps // 6, 3)), "imgs/s/chip"
         elif w == "ddpm_sample":

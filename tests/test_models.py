@@ -265,3 +265,39 @@ def test_build_unet_plumbs_perf_knobs():
     np.testing.assert_allclose(
         np.asarray(base.apply(v, x, t)), np.asarray(knob.apply(v, x, t)), atol=0
     )
+
+
+def test_unet_fuse_conv_gn_matches_unfused():
+    """The fused conv1+GN-stats path (ops/pallas/conv_gn.py) must produce
+    the same forward output and accept the same parameter tree as the
+    nn.Conv + GroupNorm32 path — checkpoints are interchangeable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddpm_tpu.models import UNet
+    from ddpm_tpu.ops.pallas import conv_gn
+
+    kw = dict(
+        in_channels=3, hid_channels=128, out_channels=3,
+        ch_multipliers=(1, 2), num_res_blocks=1, apply_attn=(False, False),
+        drop_rate=0.0,
+    )
+    x = jax.random.normal(jax.random.key(0), (4, 8, 8, 3))
+    t = jnp.array([0, 100, 500, 999], jnp.int32)
+
+    plain = UNet(**kw)
+    params = plain.init(jax.random.key(1), x, t)["params"]
+    y_plain = plain.apply({"params": params}, x, t)
+
+    fused = UNet(fuse_conv_gn=True, **kw)
+    conv_gn.FORCE_INTERPRET = True
+    try:
+        params_fused = fused.init(jax.random.key(1), x, t)["params"]
+        assert jax.tree.structure(params_fused) == jax.tree.structure(params)
+        y_fused = fused.apply({"params": params}, x, t)
+    finally:
+        conv_gn.FORCE_INTERPRET = False
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
+    )

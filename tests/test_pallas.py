@@ -328,3 +328,90 @@ def test_gn_stats_supports_predicate():
     assert not supports((8, 1024, 96))  # channels off the lane grid
     assert supports((8, 997, 128))  # prime rows but whole-N block fits VMEM
     assert not supports((8, 1009, 4096))  # prime rows AND too wide to block
+
+
+# ---- implicit-GEMM conv + GN-stats epilogue (ops/pallas/conv_gn.py) ----
+
+from ddpm_tpu.ops.pallas.conv_gn import (  # noqa: E402
+    conv3x3_gn_stats,
+    conv3x3_gn_stats_reference,
+    gn_from_stats,
+)
+from ddpm_tpu.ops.pallas import conv_gn as conv_gn_mod  # noqa: E402
+
+
+def _conv_case(seed=0, B=8, H=16, W=16, C=128):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, size=(3, 3, C, C)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, size=(C,)), jnp.float32)
+    return x, w, b
+
+
+def test_conv_gn_stats_matches_reference():
+    x, w, b = _conv_case()
+    y0, s10, s20 = conv3x3_gn_stats_reference(x, w, b)
+    y1, s11, s21 = conv3x3_gn_stats(x, w, b, 4, True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s11), np.asarray(s10), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(s21), np.asarray(s20), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_conv_gn_stats_grads_match_reference():
+    x, w, b = _conv_case(seed=1)
+
+    def scalarize(f):
+        def run(x, w, b):
+            y, s1, s2 = f(x, w, b)
+            return (
+                (y.astype(jnp.float32) ** 2).mean()
+                + (s1 * 1e-3).sum()
+                + jnp.sqrt(s2 + 1.0).mean()
+            )
+
+        return run
+
+    g1 = jax.grad(
+        scalarize(lambda x, w, b: conv3x3_gn_stats(x, w, b, 4, True)),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+    g0 = jax.grad(
+        scalarize(conv3x3_gn_stats_reference), argnums=(0, 1, 2)
+    )(x, w, b)
+    for a, r in zip(g1, g0):
+        scale = max(1.0, float(jnp.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-5 * scale, rtol=1e-4
+        )
+
+
+def test_conv_gn_stats_unsupported_falls_back():
+    # 96 channels off the lane grid -> reference path, identical results
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, size=(3, 3, 96, 96)), jnp.float32)
+    b = jnp.zeros((96,), jnp.float32)
+    assert not conv_gn_mod.supports(x.shape, w.shape)
+    y1, s1, s2 = conv3x3_gn_stats(x, w, b, 4, True)
+    y0, s10, s20 = conv3x3_gn_stats_reference(x, w, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+
+
+def test_gn_from_stats_matches_groupnorm_with_embedding_shift():
+    # conv -> +emb -> GroupNorm, the ResidualBlock's norm2 input
+    # (models/unet.py h + emb[:, None, None, :]): gn_from_stats must equal
+    # flax GroupNorm applied to (y + emb) while reading only (s1, s2, emb)
+    x, w, b = _conv_case(seed=3)
+    y, s1, s2 = conv3x3_gn_stats(x, w, b, 4, True)
+    rng = np.random.default_rng(4)
+    emb = jnp.asarray(rng.normal(size=(y.shape[0], y.shape[-1])), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1.0, 0.1, size=(y.shape[-1],)), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.1, size=(y.shape[-1],)), jnp.float32)
+
+    got = gn_from_stats(y, s1, s2, gamma, beta, 32, 1e-6, shift=emb)
+    want = nn.GroupNorm(num_groups=32, epsilon=1e-6).apply(
+        {"params": {"scale": gamma, "bias": beta}}, y + emb[:, None, None, :]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

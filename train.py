@@ -84,6 +84,13 @@ def main():
         "activation HBM (not needed for any bundled config at its "
         "single-chip batch; celebahq b32 is ~17%% faster without it)",
     )
+    parser.add_argument(
+        "--fuse-conv-gn", action="store_true",
+        help="fuse each residual block's conv1 with norm2's statistics via "
+        "the implicit-GEMM Pallas conv (ops/pallas/conv_gn.py): the conv "
+        "epilogue emits the GN sums, so the pre-norm activation is never "
+        "re-read (A/B numbers in docs/performance.md)",
+    )
     args = parser.parse_args()
     train(args)
 
@@ -150,6 +157,7 @@ def train(args):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         block_size=args.block_size,
         remat=args.remat,
+        fuse_conv_gn=getattr(args, "fuse_conv_gn", False),
     )
 
     batch_size = get_param("batch_size", train_cfg, args)
