@@ -124,8 +124,13 @@ def bench_loop(steps: int):
     return batch * n / dt / jax.device_count()
 
 
-def _make_png_folder(path: str, n: int, size):
-    """Synthesize a PNG folder (CelebA-like source files) once, reuse after."""
+def _make_image_folder(path: str, n: int, size, fmt: str = "png"):
+    """Synthesize a source-image folder once, reuse after.
+
+    fmt="png" writes random-noise PNGs — the worst case for zlib decode.
+    fmt="jpg" writes smooth (upsampled low-frequency) JPEGs at quality 95,
+    matching the real CelebA distribution format (img_align_celeba is JPEG,
+    reference datasets.py opens those files directly)."""
     from PIL import Image
     import numpy as np
 
@@ -134,26 +139,36 @@ def _make_png_folder(path: str, n: int, size):
     os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(0)
     for i in range(n):
-        arr = rng.integers(0, 256, (size[1], size[0], 3), dtype="uint8")
-        Image.fromarray(arr).save(os.path.join(path, f"{i:06d}.png"))
+        if fmt == "jpg":
+            base = rng.integers(0, 256, (size[1] // 8, size[0] // 8, 3), dtype="uint8")
+            im = Image.fromarray(base).resize(size, Image.BILINEAR)
+            im.save(os.path.join(path, f"{i:06d}.jpg"), quality=95)
+        else:
+            arr = rng.integers(0, 256, (size[1], size[0], 3), dtype="uint8")
+            Image.fromarray(arr).save(os.path.join(path, f"{i:06d}.png"))
 
 
 def bench_file_loop(steps: int):
-    """Trainer loop over a DISK PNG folder at CelebA 64^2 shapes: persistent
+    """Trainer loop over a DISK image folder at CelebA 64^2 shapes: persistent
     decoder-pool FileDataset (crop 178x218 -> resize 64, the real CelebA
-    decode) + uint8 ship + prefetch + fused step. Isolates whether PNG
-    decode keeps up with the step rate (VERDICT r2 weak-4)."""
+    decode) + uint8 ship + prefetch + fused step. Isolates whether image
+    decode keeps up with the step rate (VERDICT r2 weak-4).
+
+    The sustained loop runs over JPEG sources — the real CelebA distribution
+    format (img_align_celeba ships JPEGs). Bare decode rates are also printed
+    for the PNG worst case (random-noise zlib payloads) at both CelebA 178x218
+    and CelebA-HQ 256^2 shapes (the HQ distribution IS 256^2 PNGs)."""
     import numpy as np
 
-    from ddpm_tpu.data.datasets import FileDataset, _decode_celeba
+    from ddpm_tpu.data.datasets import FileDataset, _decode_celeba, _decode_image
     from ddpm_tpu.data.loader import ShardedLoader
     from ddpm_tpu.parallel import batch_sharding, stage_global_batch
     from ddpm_tpu.train import make_train_step
 
     batch = 128
     n_imgs = batch * (steps + 1)
-    folder = "/tmp/bench_pngs_celeba"
-    _make_png_folder(folder, n_imgs, (178, 218))
+    folder = "/tmp/bench_jpgs_celeba"
+    _make_image_folder(folder, n_imgs, (178, 218), fmt="jpg")
 
     files = [os.path.join(folder, n) for n in sorted(os.listdir(folder))][:n_imgs]
     ds = FileDataset(files, _decode_celeba)
@@ -165,10 +180,30 @@ def bench_file_loop(steps: int):
     for i in range(3):
         state, loss = step(state, x.astype(jnp.uint8), jax.random.fold_in(key, i))
     _sync(loss)
-    # measure the bare decode rate first (no device in the loop)
+    # bare decode rates first (no device in the loop)
     t0 = time.perf_counter()
     ds.get_batch(np.arange(batch))
     decode_rate = batch / (time.perf_counter() - t0)
+
+    png_folder = "/tmp/bench_pngs_celeba"
+    _make_image_folder(png_folder, batch, (178, 218), fmt="png")
+    png_files = [os.path.join(png_folder, n) for n in sorted(os.listdir(png_folder))][:batch]
+    png_ds = FileDataset(png_files, _decode_celeba)
+    t0 = time.perf_counter()
+    png_ds.get_batch(np.arange(batch))
+    png_rate = batch / (time.perf_counter() - t0)
+
+    hq_folder = "/tmp/bench_pngs_hq"
+    _make_image_folder(hq_folder, 32, (256, 256), fmt="png")
+    hq_files = [os.path.join(hq_folder, n) for n in sorted(os.listdir(hq_folder))][:32]
+    hq_ds = FileDataset(hq_files, _decode_image)
+    t0 = time.perf_counter()
+    hq_ds.get_batch(np.arange(32))
+    hq_rate = 32 / (time.perf_counter() - t0)
+    print(json.dumps({"workload": "file_loop_train.decode_png_worstcase",
+                      "value": round(png_rate, 2), "unit": "imgs/s"}), flush=True)
+    print(json.dumps({"workload": "file_loop_train.decode_hq_png",
+                      "value": round(hq_rate, 2), "unit": "imgs/s"}), flush=True)
 
     loader = ShardedLoader(ds, batch, seed=0, device_normalize=True)
     sharding = batch_sharding(mesh)

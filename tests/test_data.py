@@ -239,3 +239,22 @@ def test_celebahq_legacy_order_unpadded_names(tmp_path):
     for j, nm in enumerate(ref_names):
         v = int(nm[:-4]) * 20
         assert np.all(batch[j] == v), (j, nm)
+
+
+def test_decode_celeba_pipeline_matches_crop_resize():
+    """The single-PIL CelebA decode must be bit-identical to the composed
+    crop_celeba + resize_batch path it replaced (same crop box, same
+    bilinear resample)."""
+    import numpy as np
+    from PIL import Image
+
+    from ddpm_tpu.data.datasets import _decode_celeba, _decode_image
+    from ddpm_tpu.data.transforms import crop_celeba, resize_batch
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (218, 178, 3), dtype=np.uint8)
+    path = "/tmp/test_celeba_decode.png"
+    Image.fromarray(img).save(path)
+    want = resize_batch(crop_celeba(_decode_image(path))[None], 64)[0]
+    got = _decode_celeba(path)
+    np.testing.assert_array_equal(got, want)
