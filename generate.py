@@ -197,17 +197,29 @@ def main():
     key = jax.random.key(args.seed)
     num_batches = math.ceil(args.total_size / args.batch_size)
     written = 0
+    # One-batch software pipeline: dispatch sampling for batch i+1 (JAX async
+    # dispatch returns immediately) BEFORE fetching batch i, so the chip runs
+    # the next chain while this host core converts + PNG-encodes the previous
+    # one. The reference gets this overlap from separate writer threads per
+    # GPU process (generate.py:113-130); here one dispatch reorder buys it.
     with ThreadPoolExecutor(max_workers=args.max_workers) as pool:
+        pending = None  # (device array, rows to keep)
         for i in range(num_batches):
             key, sub = jax.random.split(key)
             x = sample_fn(state, sub)
-            n = min(args.batch_size, args.total_size - written)
-            # multi-host: each process writes only the rows its devices own
-            # (rank-sharded generation, reference generate.py:105-110)
-            local = addressable_rows(x, n)
-            list(pool.map(save_png, convert_u8(local)))
-            written += n
-            print(f"{written}/{args.total_size}", flush=True)
+            n = min(args.batch_size, args.total_size - i * args.batch_size)
+            if pending is not None:
+                # multi-host: each process writes only the rows its devices
+                # own (rank-sharded generation, reference generate.py:105-110)
+                local = addressable_rows(*pending)
+                list(pool.map(save_png, convert_u8(local)))
+                written += pending[1]
+                print(f"{written}/{args.total_size}", flush=True)
+            pending = (x, n)
+        local = addressable_rows(*pending)
+        list(pool.map(save_png, convert_u8(local)))
+        written += pending[1]
+        print(f"{written}/{args.total_size}", flush=True)
     print(f"wrote {written} PNGs to {save_dir}")
 
 

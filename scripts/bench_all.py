@@ -8,6 +8,8 @@ Workloads (select with --only, comma-separated):
                  75 imgs/s with it; batch 64 fails to compile either way)
   ddpm_sample    1000-step ancestral sampling, CIFAR UNet, batch 128
   ddim_sample    50-step DDIM, CIFAR UNet, batch 128
+  generate_loop  generate.py end to end: DDIM-50 -> uint8 -> PNG pool
+                 (serialized vs pipelined loop orders)
 
 Each result prints as one JSON line (and a closing summary table). All
 timing synchronizes by fetching a computed value — block_until_ready can
@@ -272,6 +274,82 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
     return batch * reps / dt / jax.device_count()
 
 
+def bench_generate_loop(reps: int):
+    """generate.py's production loop end to end: DDIM-50 sampling on the
+    chip -> fetch -> uint8 convert -> PNG encode pool on the host, at CIFAR
+    shapes (batch 128). Measures BOTH loop orders: serialized (fetch+encode
+    batch i before dispatching i+1) and the shipped one-batch pipeline
+    (dispatch i+1 first, then fetch/encode i while the chip samples), and
+    prints the serialized rate as a sub-line. The pipelined number is the
+    honest 'PNGs per second out of generate.py' figure to compare with the
+    pure ddim_sample device rate."""
+    import shutil
+    import uuid
+
+    from PIL import Image
+
+    from ddpm_tpu import native
+    from ddpm_tpu.data.transforms import to_uint8
+    from ddpm_tpu.diffusion import ddim_from_betas, get_selection_schedule
+    from ddpm_tpu.math import get_beta_schedule
+    from ddpm_tpu.models import build_unet
+    from ddpm_tpu.parallel import addressable_rows, make_mesh
+    from ddpm_tpu.train import TrainState, make_optimizer, make_sample_fn
+    from ddpm_tpu.utils.config import load_config
+    from concurrent.futures import ThreadPoolExecutor
+
+    batch = 128
+    cfg = load_config("cifar10")
+    mesh = make_mesh()
+    dcfg = cfg["diffusion"]
+    betas = get_beta_schedule(
+        dcfg["beta_schedule"], dcfg["beta_start"], dcfg["beta_end"], dcfg["timesteps"]
+    )
+    diffusion = ddim_from_betas(
+        betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"],
+        eta=0.0, subsequence=get_selection_schedule("linear", 50, dcfg["timesteps"]),
+    )
+    model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x, jnp.zeros((batch,), jnp.int32))["params"]
+    state = TrainState.create(params, make_optimizer(lr=2e-4), use_ema=False)
+    sample = make_sample_fn(model.apply, diffusion, (batch, 32, 32, 3),
+                            use_ema=False, mesh=mesh)
+    convert_u8 = native.float_to_uint8 if native.available() else to_uint8
+    save_dir = "/tmp/bench_generate_pngs"
+    shutil.rmtree(save_dir, ignore_errors=True)
+    os.makedirs(save_dir)
+
+    def save_png(img_u8):
+        Image.fromarray(img_u8).save(os.path.join(save_dir, f"{uuid.uuid4()}.png"))
+
+    key = jax.random.key(0)
+    _sync(sample(state, key))  # compile
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        # serialized order (what a naive loop does)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            local = addressable_rows(sample(state, jax.random.fold_in(key, i)), batch)
+            list(pool.map(save_png, convert_u8(local)))
+        serial_rate = batch * reps / (time.perf_counter() - t0) / jax.device_count()
+        print(json.dumps({"workload": "generate_loop.serialized",
+                          "value": round(serial_rate, 2), "unit": "imgs/s/chip"}),
+              flush=True)
+
+        # pipelined order (generate.py's shipped loop)
+        t0 = time.perf_counter()
+        pending = None
+        for i in range(reps):
+            nxt = sample(state, jax.random.fold_in(key, 100 + i))
+            if pending is not None:
+                list(pool.map(save_png, convert_u8(addressable_rows(pending, batch))))
+            pending = nxt
+        list(pool.map(save_png, convert_u8(addressable_rows(pending, batch))))
+        rate = batch * reps / (time.perf_counter() - t0) / jax.device_count()
+    return rate
+
+
 WORKLOADS = [
     "cifar_train",
     "loop_train",
@@ -280,6 +358,7 @@ WORKLOADS = [
     "hq_train",
     "ddpm_sample",
     "ddim_sample",
+    "generate_loop",
 ]
 
 
@@ -310,6 +389,8 @@ def main():
             v, u = bench_sample(1000, 128, 1, use_ddim=False), "samples/s/chip"
         elif w == "ddim_sample":
             v, u = bench_sample(50, 128, 4, use_ddim=True), "samples/s/chip"
+        elif w == "generate_loop":
+            v, u = bench_generate_loop(6), "imgs/s/chip"
         else:
             raise SystemExit(f"unknown workload {w!r} (choose from {WORKLOADS})")
         results[w] = (v, u)
