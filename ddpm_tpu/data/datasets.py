@@ -31,7 +31,7 @@ import numpy as np
 from .registry import register_dataset
 from .transforms import resize_batch
 
-__all__ = ["MNIST", "CIFAR10", "CelebA", "CelebA_HQ", "FakeData", "ROOT"]
+__all__ = ["MNIST", "CIFAR10", "CelebA", "CelebA_HQ", "FakeData", "Blobs", "ROOT"]
 
 ROOT = os.path.expanduser("~/datasets")
 
@@ -221,6 +221,73 @@ class CelebA_HQ(FileDataset):
         np.random.RandomState(123).shuffle(names)
         files = [os.path.join(img_dir, n) for n in names]
         super().__init__(files, _decode_image)
+
+
+def _make_blobs(n: int, res: int, seed: int, max_blobs: int = 3) -> np.ndarray:
+    """Synthesize ``n`` res*res*3 uint8 images: a smooth two-color vertical
+    gradient background with 1..max_blobs alpha-composited Gaussian color
+    blobs at random centers/radii/colors. Deterministic given (n, res, seed);
+    chunked so peak scratch memory stays ~100 MB regardless of n."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+    grad = (yy / (res - 1))[None, :, :, None]
+    out = np.empty((n, res, res, 3), np.uint8)
+    chunk = 4096  # fixed: determinism must not depend on caller-visible knobs
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        c_top = rng.uniform(0.0, 1.0, (m, 1, 1, 3)).astype(np.float32)
+        c_bot = rng.uniform(0.0, 1.0, (m, 1, 1, 3)).astype(np.float32)
+        img = c_top * (1.0 - grad) + c_bot * grad
+        k = rng.integers(1, max_blobs + 1, m)
+        for j in range(max_blobs):
+            cx = rng.uniform(res * 0.15, res * 0.85, (m, 1, 1)).astype(np.float32)
+            cy = rng.uniform(res * 0.15, res * 0.85, (m, 1, 1)).astype(np.float32)
+            sig = rng.uniform(res / 16.0, res / 5.0, (m, 1, 1)).astype(np.float32)
+            col = rng.uniform(0.0, 1.0, (m, 1, 1, 3)).astype(np.float32)
+            d2 = (xx[None] - cx) ** 2 + (yy[None] - cy) ** 2
+            alpha = np.exp(-0.5 * d2 / sig**2)[..., None]
+            alpha *= (j < k).astype(np.float32)[:, None, None, None]
+            img = img * (1.0 - alpha) + col * alpha
+        out[lo : lo + m] = np.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+    return out
+
+
+@register_dataset
+class Blobs(ArrayDataset):
+    """Procedural *learnable* synthetic distribution at CIFAR-10 shapes.
+
+    Unlike ``FakeData`` (i.i.d. uniform noise — nothing to learn), this
+    distribution has strong low-dimensional structure (gradient backgrounds +
+    Gaussian blobs), so a diffusion model trained on it exhibits a sharply
+    falling FID and visually recognizable samples. It powers the offline
+    end-to-end convergence evidence for the flagship UNet — the image-domain
+    counterpart of the toy stack's acceptance-signal role in the reference
+    (reference README.md:256-306); no reference equivalent exists because the
+    reference assumes downloadable datasets.
+
+    train/test splits draw from disjoint seed streams (a fresh test draw is
+    what FID target statistics should be computed against).
+    """
+
+    resolution = (32, 32)
+    channels = 3
+    train_size = 50000
+    test_size = 10000
+    random_flip = True
+
+    def __init__(
+        self,
+        root: str = ROOT,
+        split: str = "train",
+        size: Optional[int] = None,
+        resolution: int = 32,
+        seed: int = 7,
+        **_,
+    ):
+        n = size or (self.train_size if split in ("train", "all") else self.test_size)
+        if split == "test":
+            seed = seed + 1  # disjoint from the train stream
+        super().__init__(_make_blobs(n, resolution, seed))
 
 
 @register_dataset

@@ -23,7 +23,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
 
 # Datasets the reference ships no config for either (reference configs/ holds
 # only cifar10/celeba/celebahq); these may run from CLI flags alone.
-CONFIGLESS_DATASETS = frozenset({"mnist", "fakedata"})
+CONFIGLESS_DATASETS = frozenset({"mnist", "fakedata", "blobs"})
 
 
 class ConfigDict(dict):
