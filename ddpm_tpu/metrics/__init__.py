@@ -37,6 +37,7 @@ __all__ = [
     "load_vgg_variables",
     "INCEPTION_WEIGHTS",
     "VGG_WEIGHTS",
+    "weights_cache_tag",
 ]
 
 # Converted-weight locations; the INCEPTION_NPZ / VGG_NPZ env vars override
@@ -50,6 +51,29 @@ VGG_WEIGHTS = os.environ.get(
     "VGG_NPZ",
     os.path.join(os.path.expanduser("~/.cache/ddpm_tpu"), "vgg16_stylegan2.npz"),
 )
+
+
+def weights_cache_tag(path: str | None = None, env: str = "INCEPTION_NPZ") -> str:
+    """Cache-filename suffix binding stats/manifolds to their feature weights.
+
+    Empty for the stock weight location (keeps reference-compatible names
+    like ``fid_stats_cifar10.npz``); when INCEPTION_NPZ / VGG_NPZ point
+    elsewhere, a short tag derived from the override path, so statistics
+    computed under different weight files never share a cache entry
+    (the parity-gate rehearsal's seeded stand-ins must not poison — or be
+    poisoned by — stats for the real weights). Path-keyed, not
+    content-keyed: swapping different weights in at the SAME path still
+    needs the stale npz deleted by hand, the same contract as the
+    reference's downloaded precomputed stats."""
+    if not os.environ.get(env):
+        return ""
+    import hashlib
+
+    if path is None:
+        path = INCEPTION_WEIGHTS
+    stem = os.path.splitext(os.path.basename(path))[0]
+    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+    return f"_{stem}-{digest}"
 
 
 def _load_variables_npz(path: str, what: str, converter: str):
@@ -111,8 +135,11 @@ class Evaluator:
             if variables is None:
                 variables = load_inception_variables(inception_weights)
             self.extract = make_feature_extractor(variables)
+        # same weights-aware cache key as eval.py: stats computed under an
+        # INCEPTION_NPZ override never collide with stock-weight stats
+        ds_key = dataset + weights_cache_tag(inception_weights, "INCEPTION_NPZ")
         try:
-            self.target_mean, self.target_var = get_precomputed(dataset, precomputed_dir)
+            self.target_mean, self.target_var = get_precomputed(ds_key, precomputed_dir)
         except FileNotFoundError:
             # fall back to computing target stats from the raw dataset
             # (reference eval.py:87-94)
@@ -125,7 +152,7 @@ class Evaluator:
             self.target_mean, self.target_var = compute_dataset_stats(
                 iter(loader),
                 self.extract,
-                save_path=os.path.join(precomputed_dir, f"fid_stats_{dataset}.npz"),
+                save_path=os.path.join(precomputed_dir, f"fid_stats_{ds_key}.npz"),
             )
         self.key = jax.random.key(571)
 

@@ -116,8 +116,6 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, t_emb, train: bool = False):
-        from ..ops.pallas import conv_gn
-
         in_ch = x.shape[-1]
         skip = x
         if in_ch != self.out_channels:
@@ -126,12 +124,15 @@ class ResidualBlock(nn.Module):
             )(x)
         h = GroupNorm32(dtype=self.dtype, with_silu=True, fuse=self.fuse_gn,
                         pallas_stats=self.gn_pallas_stats, name="norm1")(x)
-        w_shape = (3, 3, h.shape[-1], self.out_channels)
-        use_conv_gn = (
-            self.fuse_conv_gn
-            and (jax.default_backend() == "tpu" or conv_gn.FORCE_INTERPRET)
-            and conv_gn.supports(h.shape, w_shape)
-        )
+        use_conv_gn = False
+        if self.fuse_conv_gn:
+            # lazy: pallas/mosaic only load when the opt-in flag is set
+            from ..ops.pallas import conv_gn
+
+            w_shape = (3, 3, h.shape[-1], self.out_channels)
+            use_conv_gn = (
+                jax.default_backend() == "tpu" or conv_gn.FORCE_INTERPRET
+            ) and conv_gn.supports(h.shape, w_shape, itemsize=h.dtype.itemsize)
         emb = nn.Dense(
             self.out_channels, kernel_init=DEFAULT_INIT, dtype=self.dtype, name="fc"
         )(nn.silu(t_emb))

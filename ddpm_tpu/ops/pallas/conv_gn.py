@@ -55,8 +55,12 @@ __all__ = ["conv3x3_gn_stats", "conv3x3_gn_stats_reference", "supports"]
 FORCE_INTERPRET = False
 
 
-def supports(x_shape, w_shape, block_b: int = 4) -> bool:
-    """True when (x, w) map onto the validated kernel configuration."""
+def supports(x_shape, w_shape, block_b: int = 4, itemsize: int = 4) -> bool:
+    """True when (x, w) map onto the validated kernel configuration.
+
+    ``itemsize`` is the byte width of x/w/y elements (2 for bf16, 4 for f32);
+    the default budgets for f32 — pass the real dtype's itemsize so bf16
+    models get the larger admissible shape set."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     b, h, w, cin = x_shape
@@ -71,10 +75,10 @@ def supports(x_shape, w_shape, block_b: int = 4) -> bool:
     # (double-buffered). Keep the static footprint under ~8 MiB.
     rows = block_b * h * w
     vmem = (
-        block_b * (h + 2) * (w + 2) * cin * 2  # padded block, bf16 worst case
+        block_b * (h + 2) * (w + 2) * cin * itemsize  # padded block
         + rows * cout * 4  # f32 accumulator
-        + 2 * (block_b * h * w * (cin + cout)) * 2  # double-buffered x/y
-        + 9 * cin * cout * 2
+        + 2 * (block_b * h * w * (cin + cout)) * itemsize  # double-buffered x/y
+        + 9 * cin * cout * itemsize
     )
     return vmem <= 8 * 1024 * 1024
 
@@ -132,7 +136,7 @@ def _forward(x, w, b, block_b, interpret):
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not (on_tpu and supports(x.shape, w.shape, block_b)):
+    if not (on_tpu and supports(x.shape, w.shape, block_b, x.dtype.itemsize)):
         return conv3x3_gn_stats_reference(x, w, b)
     w9 = w.reshape(9, cin, cout)
     grid = (bsz // block_b,)

@@ -69,6 +69,7 @@ def main():
         load_vgg_variables,
         make_feature_extractor,
         make_vgg_extractor,
+        weights_cache_tag,
     )
 
     root = os.path.expanduser(args.root)
@@ -89,14 +90,20 @@ def main():
         )
         return iter(loader)
 
+    # stats/manifold caches are keyed on the feature weights too: an
+    # INCEPTION_NPZ/VGG_NPZ override producing different features must not
+    # reuse (or poison) caches built under the stock weights
+    inception_tag = weights_cache_tag(INCEPTION_WEIGHTS, "INCEPTION_NPZ")
+
     if "fid" in args.metrics:
+        ds_key = args.dataset + inception_tag
         try:
-            mu_t, sig_t = get_precomputed(args.dataset, args.precomputed_dir)
+            mu_t, sig_t = get_precomputed(ds_key, args.precomputed_dir)
         except FileNotFoundError:
             mu_t, sig_t = compute_dataset_stats(
                 raw_data_batches(),
                 extract,
-                save_path=os.path.join(args.precomputed_dir, f"fid_stats_{args.dataset}.npz"),
+                save_path=os.path.join(args.precomputed_dir, f"fid_stats_{ds_key}.npz"),
             )
         # dim inferred from the first batch: keeps the CLI agnostic to the
         # embedding width (2048 for Inception, anything for injected/test
@@ -125,7 +132,11 @@ def main():
         # reuses a manifold built with a different --nhood-size; we don't.
         # row/col batch sizes are compute tiling only — they do not alter
         # the radii — so they stay out of the key.
-        emb = "vgg" if os.path.exists(VGG_WEIGHTS) else "inception"
+        emb = (
+            "vgg" + weights_cache_tag(VGG_WEIGHTS, "VGG_NPZ")
+            if os.path.exists(VGG_WEIGHTS)
+            else "inception" + inception_tag
+        )
         manifold_path = os.path.join(
             args.precomputed_dir,
             f"pr_manifold_{args.dataset}_{emb}"

@@ -132,7 +132,13 @@ def main():
 
         data = np.load(args.params_npz)
         loaded = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
-        if jax.tree.structure(loaded) != jax.tree.structure(params):
+        # structure AND leaf shapes: a same-named tree from a different
+        # hid_channels/ch_multipliers has identical structure, so shapes are
+        # the check that actually catches a wrong --config at conversion
+        if jax.tree.structure(loaded) != jax.tree.structure(params) or any(
+            np.shape(a) != np.shape(p)
+            for a, p in zip(jax.tree.leaves(loaded), jax.tree.leaves(params))
+        ):
             raise SystemExit(
                 f"error: {args.params_npz!r} does not match the "
                 f"'{dataset}' model config (wrong --config at conversion?)"
@@ -203,23 +209,25 @@ def main():
     # one. The reference gets this overlap from separate writer threads per
     # GPU process (generate.py:113-130); here one dispatch reorder buys it.
     with ThreadPoolExecutor(max_workers=args.max_workers) as pool:
+        def drain(batch):
+            nonlocal written
+            # multi-host: each process writes only the rows its devices
+            # own (rank-sharded generation, reference generate.py:105-110)
+            local = addressable_rows(*batch)
+            list(pool.map(save_png, convert_u8(local)))
+            written += batch[1]
+            print(f"{written}/{args.total_size}", flush=True)
+
         pending = None  # (device array, rows to keep)
         for i in range(num_batches):
             key, sub = jax.random.split(key)
             x = sample_fn(state, sub)
             n = min(args.batch_size, args.total_size - i * args.batch_size)
             if pending is not None:
-                # multi-host: each process writes only the rows its devices
-                # own (rank-sharded generation, reference generate.py:105-110)
-                local = addressable_rows(*pending)
-                list(pool.map(save_png, convert_u8(local)))
-                written += pending[1]
-                print(f"{written}/{args.total_size}", flush=True)
+                drain(pending)
             pending = (x, n)
-        local = addressable_rows(*pending)
-        list(pool.map(save_png, convert_u8(local)))
-        written += pending[1]
-        print(f"{written}/{args.total_size}", flush=True)
+        if pending is not None:
+            drain(pending)
     print(f"wrote {written} PNGs to {save_dir}")
 
 

@@ -77,7 +77,18 @@ python eval.py --dataset "$DATASET" --root "$DATA_ROOT" \
   --sample-folder "$SAMPLES/$DATASET" --eval-total-size "$TOTAL_SIZE" \
   --metrics fid --precomputed-dir "$PRECOMPUTED_DIR" | tee "$WORK_DIR/${STAMP}_fid.log"
 
-FID="$(grep -oE 'fid: [0-9.]+' "$WORK_DIR/${STAMP}_fid.log" | awk '{print $2}' | tail -1)"
+# '[0-9.a-z-]' keeps nan/inf/-0.0 matchable: under set -e a no-match grep
+# would otherwise kill the gate silently AFTER the expensive 50k generation
+FID="$(grep -oE 'fid: [0-9.a-z-]+' "$WORK_DIR/${STAMP}_fid.log" | awk '{print $2}' | tail -1)"
+if [ -z "$FID" ]; then
+  echo "ERROR: eval.py printed no FID (see $WORK_DIR/${STAMP}_fid.log)" >&2
+  exit 1
+fi
+case "$FID" in
+  nan|inf|-inf)
+    echo "ERROR: degenerate FID '$FID' — stats/weights mismatch? (see $WORK_DIR/${STAMP}_fid.log)" >&2
+    exit 1 ;;
+esac
 
 # Reference README experiment table, 1000-step DDPM FIDs for the released
 # checkpoints (README.md:363,389,424). DDIM-50/eta0 typically lands within

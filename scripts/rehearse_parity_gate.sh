@@ -22,8 +22,11 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 
 mkdir -p "$WORK"
+# check every artifact incl. the dataset dir (fabricated LAST — a run
+# interrupted mid-fabrication must not take the reuse branch)
 if [ -f "$WORK/artifacts/cifar10_rehearsal.pt" ] && \
-   [ -f "$WORK/artifacts/fid_inception_v3.npz" ]; then
+   [ -f "$WORK/artifacts/fid_inception_v3.npz" ] && \
+   [ -f "$WORK/artifacts/datasets/cifar-10-batches-py/data_batch_1" ]; then
   echo "== rehearsal: reusing artifacts under $WORK/artifacts"
 else
   echo "== rehearsal: fabricating artifacts under $WORK/artifacts"

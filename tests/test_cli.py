@@ -117,6 +117,20 @@ def test_train_then_generate_roundtrip(tiny_config_path, tmp_path, capsys):
     pngs = [f for f in os.listdir(tmp_path / "g" / "fakedata") if f.endswith(".png")]
     assert len(pngs) == 12
 
+    # --total-size 0 exits cleanly (regression: the pipelined writer used to
+    # drain a never-assigned batch and crash with a TypeError)
+    run_main(
+        generate_cli,
+        [
+            "--config-path", tiny_config_path,
+            "--chkpt-path", os.path.join(chkpt_dir, "ddpm_fakedata", "1"),
+            "--total-size", "0",
+            "--batch-size", "8",
+            "--save-dir", str(tmp_path / "g0"),
+        ],
+    )
+    assert "wrote 0 PNGs" in capsys.readouterr().out
+
 
 def test_train_unknown_dataset_fails_loudly():
     with pytest.raises(SystemExit, match="no config found"):

@@ -173,3 +173,18 @@ def test_inception_extractor_shards_over_mesh(eight_devices):
     plain = make_feature_extractor(variables, data_parallel=False)
     a, b = np.asarray(sharded(x)), np.asarray(plain(x))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_weights_cache_tag_keys_on_override(monkeypatch):
+    from ddpm_tpu.metrics import weights_cache_tag
+
+    # stock location: reference-compatible (untagged) cache names
+    monkeypatch.delenv("INCEPTION_NPZ", raising=False)
+    assert weights_cache_tag("/x/fid_inception_v3.npz", "INCEPTION_NPZ") == ""
+    # override: tag is path-derived, stable, and distinct per path
+    monkeypatch.setenv("INCEPTION_NPZ", "/tmp/a/weights.npz")
+    t1 = weights_cache_tag("/tmp/a/weights.npz", "INCEPTION_NPZ")
+    t2 = weights_cache_tag("/tmp/b/weights.npz", "INCEPTION_NPZ")
+    assert t1 and t2 and t1 != t2
+    assert t1 == weights_cache_tag("/tmp/a/weights.npz", "INCEPTION_NPZ")
+    assert t1.startswith("_weights-")

@@ -415,3 +415,16 @@ def test_gn_from_stats_matches_groupnorm_with_embedding_shift():
         {"params": {"scale": gamma, "bias": beta}}, y + emb[:, None, None, :]
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_conv_gn_supports_budgets_per_dtype():
+    # the CIFAR level-0 shape fits the 8 MiB VMEM budget in bf16 but NOT in
+    # f32 (the padded block, double-buffered x/y, and weights all double):
+    # supports() must gate on the real itemsize, not assume 2 bytes
+    x_shape, w_shape = (128, 32, 32, 128), (3, 3, 128, 128)
+    assert conv_gn_mod.supports(x_shape, w_shape, itemsize=2)
+    assert not conv_gn_mod.supports(x_shape, w_shape, itemsize=4)
+    # default budgets conservatively (f32)
+    assert not conv_gn_mod.supports(x_shape, w_shape)
+    # a small-enough shape passes either way
+    assert conv_gn_mod.supports((8, 8, 8, 128), w_shape, itemsize=4)
