@@ -3,6 +3,8 @@
 Workloads (select with --only, comma-separated):
   cifar_train    CIFAR-10 32^2 UNet, batch 128  (the bench.py headline)
   loop_train     full trainer loop: uint8 loader + prefetch + step (CIFAR shape)
+  trainer_loop   the REAL Trainer.train epoch loop incl. logging/loss drain
+                 (the rate train.py's per-epoch log lines report)
   celeba_train   CelebA 64^2 UNet, batch 128
   hq_train       CelebA-HQ 256^2 UNet, batch 32 (fits without remat: 90 vs
                  75 imgs/s with it; batch 64 fails to compile either way)
@@ -350,9 +352,43 @@ def bench_generate_loop(reps: int):
     return rate
 
 
+def bench_trainer_loop(epochs: int = 3, batches: int = 200):
+    """The REAL ``Trainer.train`` loop — prefetch + fused step + 100-batch
+    log-window loss drain + running stats — on CIFAR-shaped fakedata.
+
+    ``loop_train`` measures the pipeline minus logging; this row is the rate
+    a user actually sees in train.py's per-epoch log lines (and is what
+    caught the per-scalar loss-drain round trips, docs/performance.md round
+    3). Epoch 1 pays the compile; the best later epoch is reported."""
+    import re
+
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.train import Trainer
+
+    batch = 128
+    model, diffusion, state, mesh, _, _ = _build("cifar10", batch)
+    loader, _ = get_dataloader(
+        "fakedata", batch, "train", size=batch * batches, device_normalize=True
+    )
+    rates = []
+
+    def logger(msg):
+        m = re.search(r"\(([0-9.]+) imgs/s\)", msg)
+        if m:
+            rates.append(float(m.group(1)))
+
+    trainer = Trainer(
+        model, diffusion, state, loader, epochs=epochs, mesh=mesh,
+        image_intv=10**9, chkpt_intv=10**9, logger=logger,
+    )
+    trainer.train()
+    return max(rates[1:]) if len(rates) > 1 else rates[-1]
+
+
 WORKLOADS = [
     "cifar_train",
     "loop_train",
+    "trainer_loop",
     "file_loop_train",
     "celeba_train",
     "hq_train",
@@ -378,6 +414,8 @@ def main():
                                fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
         elif w == "loop_train":
             v, u = bench_loop(max(args.steps * 2, 20)), "imgs/s/chip"
+        elif w == "trainer_loop":
+            v, u = bench_trainer_loop(), "imgs/s/chip"
         elif w == "file_loop_train":
             v, u = bench_file_loop(max(args.steps, 20)), "imgs/s/chip"
         elif w == "celeba_train":
