@@ -31,7 +31,16 @@ import numpy as np
 from .registry import register_dataset
 from .transforms import resize_batch
 
-__all__ = ["MNIST", "CIFAR10", "CelebA", "CelebA_HQ", "FakeData", "Blobs", "ROOT"]
+__all__ = [
+    "MNIST",
+    "CIFAR10",
+    "CelebA",
+    "CelebA_HQ",
+    "FakeData",
+    "Blobs",
+    "Blobs64",
+    "ROOT",
+]
 
 ROOT = os.path.expanduser("~/datasets")
 
@@ -223,15 +232,20 @@ class CelebA_HQ(FileDataset):
         super().__init__(files, _decode_image)
 
 
-def _make_blobs(n: int, res: int, seed: int, max_blobs: int = 3) -> np.ndarray:
-    """Synthesize ``n`` res*res*3 uint8 images: a smooth two-color vertical
+def _make_blobs(n: int, res, seed: int, max_blobs: int = 3) -> np.ndarray:
+    """Synthesize ``n`` h*w*3 uint8 images: a smooth two-color vertical
     gradient background with 1..max_blobs alpha-composited Gaussian color
-    blobs at random centers/radii/colors. Deterministic given (n, res, seed);
-    chunked so peak scratch memory stays ~100 MB regardless of n."""
+    blobs at random centers/radii/colors. ``res`` is an int (square) or an
+    ``(h, w)`` pair (e.g. CelebA's raw 218x178 geometry for the on-disk
+    variant). Deterministic given (n, res, seed) — for square res the draw
+    order is identical to the historical int-only version, so existing Blobs
+    images are bit-stable; chunked so peak scratch memory stays ~100 MB
+    regardless of n."""
+    h, w = (res, res) if isinstance(res, int) else res
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
-    grad = (yy / (res - 1))[None, :, :, None]
-    out = np.empty((n, res, res, 3), np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grad = (yy / (h - 1))[None, :, :, None]
+    out = np.empty((n, h, w, 3), np.uint8)
     chunk = 4096  # fixed: determinism must not depend on caller-visible knobs
     for lo in range(0, n, chunk):
         m = min(chunk, n - lo)
@@ -240,9 +254,11 @@ def _make_blobs(n: int, res: int, seed: int, max_blobs: int = 3) -> np.ndarray:
         img = c_top * (1.0 - grad) + c_bot * grad
         k = rng.integers(1, max_blobs + 1, m)
         for j in range(max_blobs):
-            cx = rng.uniform(res * 0.15, res * 0.85, (m, 1, 1)).astype(np.float32)
-            cy = rng.uniform(res * 0.15, res * 0.85, (m, 1, 1)).astype(np.float32)
-            sig = rng.uniform(res / 16.0, res / 5.0, (m, 1, 1)).astype(np.float32)
+            cx = rng.uniform(w * 0.15, w * 0.85, (m, 1, 1)).astype(np.float32)
+            cy = rng.uniform(h * 0.15, h * 0.85, (m, 1, 1)).astype(np.float32)
+            sig = rng.uniform(min(h, w) / 16.0, min(h, w) / 5.0, (m, 1, 1)).astype(
+                np.float32
+            )
             col = rng.uniform(0.0, 1.0, (m, 1, 1, 3)).astype(np.float32)
             d2 = (xx[None] - cx) ** 2 + (yy[None] - cy) ** 2
             alpha = np.exp(-0.5 * d2 / sig**2)[..., None]
@@ -265,8 +281,9 @@ class Blobs(ArrayDataset):
     (reference README.md:256-306); no reference equivalent exists because the
     reference assumes downloadable datasets.
 
-    train/test splits draw from disjoint seed streams (a fresh test draw is
-    what FID target statistics should be computed against).
+    train/test splits draw from disjoint seed streams; FID target statistics
+    are computed against a fresh test draw (``fid_split``), so the target is
+    independent of the training samples.
     """
 
     resolution = (32, 32)
@@ -274,6 +291,7 @@ class Blobs(ArrayDataset):
     train_size = 50000
     test_size = 10000
     random_flip = True
+    fid_split = "test"
 
     def __init__(
         self,
@@ -288,6 +306,50 @@ class Blobs(ArrayDataset):
         if split == "test":
             seed = seed + 1  # disjoint from the train stream
         super().__init__(_make_blobs(n, resolution, seed))
+
+
+@register_dataset
+class Blobs64(FileDataset):
+    """On-disk Blobs at CelebA geometry — the disk-pipeline convergence
+    workload.
+
+    ``scripts/make_blobs_disk.py`` renders the Blobs distribution at the raw
+    CelebA frame size (178x218 JPEGs, the real ``img_align_celeba``
+    distribution format) into ``<root>/blobs64/{train,test}/``; this class
+    then consumes the folder EXACTLY like the production CelebA dataset
+    (reference datasets.py:68-153): lazily decoded on the persistent thread
+    pool through ``_decode_celeba`` (single-PIL crop(15,40,163,188) ->
+    bilinear resize 64), per-epoch seeded file reshuffle in the loader, and
+    random flips. It exists so a convergence run can traverse the full disk
+    FileDataset path — decode pool, epoch reshuffle over files, prefetch —
+    rather than the in-memory ArrayDataset the `blobs` flagship used.
+
+    FID target statistics come from the held-out test folder (fid_split),
+    disjoint from the training images by construction (seed streams 7/8).
+    """
+
+    resolution = (64, 64)
+    channels = 3
+    train_size = 40000
+    test_size = 10000
+    random_flip = True
+    fid_split = "test"
+
+    def __init__(self, root: str = ROOT, split: str = "train", **_):
+        base = os.path.join(root, "blobs64")
+        sub = "train" if split in ("train", "all") else "test"
+        img_dir = os.path.join(base, sub)
+        if not os.path.isdir(img_dir):
+            raise FileNotFoundError(
+                f"{img_dir} not found; render it once with "
+                f"scripts/make_blobs_disk.py --root {root}"
+            )
+        files = [
+            os.path.join(img_dir, n)
+            for n in sorted(os.listdir(img_dir))
+            if n.endswith((".jpg", ".png"))
+        ]
+        super().__init__(files, _decode_celeba)
 
 
 @register_dataset

@@ -43,34 +43,40 @@ __all__ = [
 # Converted-weight locations; the INCEPTION_NPZ / VGG_NPZ env vars override
 # (used by scripts/parity_gate.sh and its offline rehearsal to point at
 # seeded stand-in weights without touching ~/.cache).
-INCEPTION_WEIGHTS = os.environ.get(
-    "INCEPTION_NPZ",
-    os.path.join(os.path.expanduser("~/.cache/ddpm_tpu"), "fid_inception_v3.npz"),
+_STOCK_INCEPTION_WEIGHTS = os.path.join(
+    os.path.expanduser("~/.cache/ddpm_tpu"), "fid_inception_v3.npz"
 )
-VGG_WEIGHTS = os.environ.get(
-    "VGG_NPZ",
-    os.path.join(os.path.expanduser("~/.cache/ddpm_tpu"), "vgg16_stylegan2.npz"),
+_STOCK_VGG_WEIGHTS = os.path.join(
+    os.path.expanduser("~/.cache/ddpm_tpu"), "vgg16_stylegan2.npz"
 )
+INCEPTION_WEIGHTS = os.environ.get("INCEPTION_NPZ", _STOCK_INCEPTION_WEIGHTS)
+VGG_WEIGHTS = os.environ.get("VGG_NPZ", _STOCK_VGG_WEIGHTS)
 
 
 def weights_cache_tag(path: str | None = None, env: str = "INCEPTION_NPZ") -> str:
     """Cache-filename suffix binding stats/manifolds to their feature weights.
 
-    Empty for the stock weight location (keeps reference-compatible names
-    like ``fid_stats_cifar10.npz``); when INCEPTION_NPZ / VGG_NPZ point
-    elsewhere, a short tag derived from the override path, so statistics
-    computed under different weight files never share a cache entry
-    (the parity-gate rehearsal's seeded stand-ins must not poison — or be
-    poisoned by — stats for the real weights). Path-keyed, not
-    content-keyed: swapping different weights in at the SAME path still
-    needs the stale npz deleted by hand, the same contract as the
-    reference's downloaded precomputed stats."""
-    if not os.environ.get(env):
+    Empty only when the weights in effect ARE the stock converted file at
+    ``~/.cache/ddpm_tpu`` (keeps reference-compatible names like
+    ``fid_stats_cifar10.npz``); any other effective path — whether it came
+    from an INCEPTION_NPZ / VGG_NPZ override or a direct
+    ``Evaluator(inception_weights=...)`` argument — yields a short
+    path-derived tag, so statistics computed under different weight files
+    never share a cache entry (the parity-gate rehearsal's seeded stand-ins
+    must not poison — or be poisoned by — stats for the real weights).
+    Keying on the path in use rather than on env-var presence closes the
+    hole where custom weights passed as an argument silently read/wrote the
+    untagged stock entry. Path-keyed, not content-keyed: swapping different
+    weights in at the SAME path still needs the stale npz deleted by hand,
+    the same contract as the reference's downloaded precomputed stats."""
+    stock = _STOCK_VGG_WEIGHTS if env == "VGG_NPZ" else _STOCK_INCEPTION_WEIGHTS
+    if path is None:
+        path = os.environ.get(env, stock)
+    path = os.path.expanduser(path)
+    if os.path.abspath(path) == os.path.abspath(stock):
         return ""
     import hashlib
 
-    if path is None:
-        path = INCEPTION_WEIGHTS
     stem = os.path.splitext(os.path.basename(path))[0]
     digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
     return f"_{stem}-{digest}"
@@ -142,11 +148,12 @@ class Evaluator:
             self.target_mean, self.target_var = get_precomputed(ds_key, precomputed_dir)
         except FileNotFoundError:
             # fall back to computing target stats from the raw dataset
-            # (reference eval.py:87-94)
-            from ..data import get_dataloader
+            # (reference eval.py:87-94); the split is dataset-defined
+            # (data/registry.py fid_stats_split)
+            from ..data import fid_stats_split, get_dataloader
 
             loader, _ = get_dataloader(
-                dataset, batch_size, split="all" if dataset.startswith("celeba") else "train",
+                dataset, batch_size, split=fid_stats_split(dataset),
                 root=root, raw=True, drop_last=False,
             )
             self.target_mean, self.target_var = compute_dataset_stats(

@@ -26,6 +26,8 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ..parallel.mesh import (
     batch_sharding,
@@ -203,9 +205,6 @@ class Trainer:
         if len(pending) == 1:
             self.stats.update(pending[0][0], loss=float(pending[0][1]))
             return
-        import jax.numpy as jnp
-        import numpy as np
-
         vals = np.asarray(jnp.stack([loss for _, loss in pending]))
         for (n, _), v in zip(pending, vals):
             self.stats.update(n, loss=float(v))

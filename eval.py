@@ -55,7 +55,7 @@ def main():
     parser.add_argument("--seed", default=1234, type=int)
     args = parser.parse_args()
 
-    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.data import fid_stats_split, get_dataloader
     from ddpm_tpu.metrics import (
         INCEPTION_WEIGHTS,
         VGG_WEIGHTS,
@@ -83,7 +83,7 @@ def main():
         loader, _ = get_dataloader(
             args.dataset,
             args.batch_size,
-            split="all" if args.dataset.startswith("celeba") else "train",
+            split=fid_stats_split(args.dataset),
             root=root,
             raw=True,
             drop_last=False,
@@ -165,8 +165,15 @@ def main():
         precision, recall = calc_pr(
             gen_manifold, true_manifold, args.row_batch_size, args.col_batch_size
         )
-        results.update(precision=precision, recall=recall)
-        print(f"precision: {precision:.4f} recall: {recall:.4f}", flush=True)
+        # record WHICH embedding produced these numbers: an Inception-feature
+        # PR is not comparable to the reference's VGG-feature PR
+        # (precision_recall.py:22-40), and the bare numbers don't say
+        results.update(precision=precision, recall=recall, pr_embedding=emb)
+        print(
+            f"precision: {precision:.4f} recall: {recall:.4f} "
+            f"(embedding: {emb})",
+            flush=True,
+        )
 
     with open("metrics.txt", "a") as f:
         f.write(f"{args.dataset} {args.sample_folder}: {results}\n")

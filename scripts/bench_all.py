@@ -40,6 +40,35 @@ def _sync(x):
     value_sync(x)
 
 
+# bf16 peak of one TPU v5e chip (matmul units). Override with
+# DDPM_TPU_PEAK_FLOPS when running on other hardware.
+PEAK_FLOPS = float(os.environ.get("DDPM_TPU_PEAK_FLOPS", 197e12))
+
+
+def _flops_per_item(jitted, n_items, *args) -> float | None:
+    """FLOPs per image/sample from XLA's cost analysis of the COMPILED
+    program (counts what actually runs: fwd+bwd+optimizer for train steps,
+    the whole scanned chain for samplers; one MAC = 2 flops). Returns None
+    when the backend doesn't expose cost analysis."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = analysis.get("flops", 0.0)
+        return float(flops) / n_items if flops else None
+    except Exception:
+        return None
+
+
+def _mfu(rate_per_chip: float, flops_per_item: float | None) -> float | None:
+    """Model FLOPs utilization: measured imgs/s/chip x FLOPs/img vs the
+    chip's peak (SURVEY.md §6 north-star framing — raw imgs/s can't say
+    whether a workload sits near its roofline; MFU can)."""
+    if flops_per_item is None:
+        return None
+    return rate_per_chip * flops_per_item / PEAK_FLOPS
+
+
 def _build(config_name: str, batch: int, remat: bool = False, fuse_conv_gn: bool = False):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -82,6 +111,7 @@ def bench_train(config_name: str, batch: int, steps: int, remat: bool = False,
     model, diffusion, state, mesh, x, _ = _build(config_name, batch, remat, fuse_conv_gn)
     step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
     key = jax.random.key(0)
+    flops = _flops_per_item(step, batch, state, x, key)
     for i in range(3):
         state, loss = step(state, x, jax.random.fold_in(key, i))
     _sync(loss)
@@ -90,7 +120,7 @@ def bench_train(config_name: str, batch: int, steps: int, remat: bool = False,
         state, loss = step(state, x, jax.random.fold_in(key, 10 + i))
     _sync(loss)
     dt = time.perf_counter() - t0
-    return batch * steps / dt / jax.device_count()
+    return batch * steps / dt / jax.device_count(), flops
 
 
 def bench_loop(steps: int):
@@ -105,6 +135,7 @@ def bench_loop(steps: int):
     model, diffusion, state, mesh, x, _ = _build("cifar10", batch)
     step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
     key = jax.random.key(0)
+    flops = _flops_per_item(step, batch, state, x.astype(jnp.uint8), key)
     for i in range(3):  # compile + warm
         state, loss = step(state, x.astype(jnp.uint8), jax.random.fold_in(key, i))
     _sync(loss)
@@ -125,7 +156,7 @@ def bench_loop(steps: int):
     n += 1
     _sync(loss)
     dt = time.perf_counter() - t0
-    return batch * n / dt / jax.device_count()
+    return batch * n / dt / jax.device_count(), flops
 
 
 def _make_image_folder(path: str, n: int, size, fmt: str = "png"):
@@ -181,6 +212,7 @@ def bench_file_loop(steps: int):
     model, diffusion, state, mesh, x, _ = _build("celeba", batch)
     step = make_train_step(model.apply, diffusion, has_dropout=True, mesh=mesh)
     key = jax.random.key(0)
+    flops = _flops_per_item(step, batch, state, x.astype(jnp.uint8), key)
     for i in range(3):
         state, loss = step(state, x.astype(jnp.uint8), jax.random.fold_in(key, i))
     _sync(loss)
@@ -226,7 +258,7 @@ def bench_file_loop(steps: int):
     dt = time.perf_counter() - t0
     print(json.dumps({"workload": "file_loop_train.decode_only",
                       "value": round(decode_rate, 2), "unit": "imgs/s"}), flush=True)
-    return batch * n / dt / jax.device_count()
+    return batch * n / dt / jax.device_count(), flops
 
 
 def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
@@ -266,6 +298,7 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
         model.apply, diffusion, (batch, 32, 32, 3), use_ema=False, mesh=mesh
     )
     key = jax.random.key(0)
+    flops = _flops_per_item(sample, batch, state, key)
     out = sample(state, key)
     _sync(out)
     t0 = time.perf_counter()
@@ -273,7 +306,7 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
         out = sample(state, jax.random.fold_in(key, i))
     _sync(out)
     dt = time.perf_counter() - t0
-    return batch * reps / dt / jax.device_count()
+    return batch * reps / dt / jax.device_count(), flops
 
 
 def bench_generate_loop(reps: int):
@@ -326,6 +359,7 @@ def bench_generate_loop(reps: int):
         Image.fromarray(img_u8).save(os.path.join(save_dir, f"{uuid.uuid4()}.png"))
 
     key = jax.random.key(0)
+    flops = _flops_per_item(sample, batch, state, key)  # device-side chain only
     _sync(sample(state, key))  # compile
 
     with ThreadPoolExecutor(max_workers=8) as pool:
@@ -349,7 +383,7 @@ def bench_generate_loop(reps: int):
             pending = nxt
         list(pool.map(save_png, convert_u8(addressable_rows(pending, batch))))
         rate = batch * reps / (time.perf_counter() - t0) / jax.device_count()
-    return rate
+    return rate, flops
 
 
 def bench_trainer_loop(epochs: int = 3, batches: int = 200):
@@ -366,7 +400,7 @@ def bench_trainer_loop(epochs: int = 3, batches: int = 200):
     from ddpm_tpu.train import Trainer
 
     batch = 128
-    model, diffusion, state, mesh, _, _ = _build("cifar10", batch)
+    model, diffusion, state, mesh, x, _ = _build("cifar10", batch)
     loader, _ = get_dataloader(
         "fakedata", batch, "train", size=batch * batches, device_normalize=True
     )
@@ -381,8 +415,12 @@ def bench_trainer_loop(epochs: int = 3, batches: int = 200):
         model, diffusion, state, loader, epochs=epochs, mesh=mesh,
         image_intv=10**9, chkpt_intv=10**9, logger=logger,
     )
+    flops = _flops_per_item(
+        trainer.train_step, batch, trainer.state, x.astype(jnp.uint8), jax.random.key(0)
+    )
     trainer.train()
-    return max(rates[1:]) if len(rates) > 1 else rates[-1]
+    rate = max(rates[1:]) if len(rates) > 1 else rates[-1]
+    return rate, flops
 
 
 WORKLOADS = [
@@ -410,37 +448,46 @@ def main():
     for w in selected:
         t0 = time.time()
         if w == "cifar_train":
-            v, u = bench_train("cifar10", 128, args.steps,
-                               fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
+            (v, fl), u = bench_train("cifar10", 128, args.steps,
+                                     fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
         elif w == "loop_train":
-            v, u = bench_loop(max(args.steps * 2, 20)), "imgs/s/chip"
+            (v, fl), u = bench_loop(max(args.steps * 2, 20)), "imgs/s/chip"
         elif w == "trainer_loop":
-            v, u = bench_trainer_loop(), "imgs/s/chip"
+            (v, fl), u = bench_trainer_loop(), "imgs/s/chip"
         elif w == "file_loop_train":
-            v, u = bench_file_loop(max(args.steps, 20)), "imgs/s/chip"
+            (v, fl), u = bench_file_loop(max(args.steps, 20)), "imgs/s/chip"
         elif w == "celeba_train":
-            v, u = bench_train("celeba", 128, max(args.steps // 3, 5),
-                               fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
+            (v, fl), u = bench_train("celeba", 128, max(args.steps // 3, 5),
+                                     fuse_conv_gn=args.fuse_conv_gn), "imgs/s/chip"
         elif w == "hq_train":
-            v, u = bench_train("celebahq", 32, max(args.steps // 6, 3)), "imgs/s/chip"
+            (v, fl), u = bench_train("celebahq", 32, max(args.steps // 6, 3)), "imgs/s/chip"
         elif w == "ddpm_sample":
-            v, u = bench_sample(1000, 128, 1, use_ddim=False), "samples/s/chip"
+            (v, fl), u = bench_sample(1000, 128, 1, use_ddim=False), "samples/s/chip"
         elif w == "ddim_sample":
-            v, u = bench_sample(50, 128, 4, use_ddim=True), "samples/s/chip"
+            (v, fl), u = bench_sample(50, 128, 4, use_ddim=True), "samples/s/chip"
         elif w == "generate_loop":
-            v, u = bench_generate_loop(6), "imgs/s/chip"
+            (v, fl), u = bench_generate_loop(6), "imgs/s/chip"
         else:
             raise SystemExit(f"unknown workload {w!r} (choose from {WORKLOADS})")
-        results[w] = (v, u)
+        mfu = _mfu(v, fl)
+        results[w] = (v, u, fl, mfu)
         print(
             json.dumps(
-                {"workload": w, "value": round(v, 2), "unit": u, "wall_s": round(time.time() - t0, 1)}
+                {
+                    "workload": w,
+                    "value": round(v, 2),
+                    "unit": u,
+                    "gflops_per_item": round(fl / 1e9, 2) if fl else None,
+                    "mfu": round(mfu, 4) if mfu is not None else None,
+                    "wall_s": round(time.time() - t0, 1),
+                }
             ),
             flush=True,
         )
-    print("\n== summary ==")
-    for w, (v, u) in results.items():
-        print(f"  {w:14s} {v:10.2f} {u}")
+    print(f"\n== summary (MFU vs {PEAK_FLOPS / 1e12:.0f} TFLOPS bf16 peak/chip) ==")
+    for w, (v, u, fl, mfu) in results.items():
+        mfu_s = f"{100 * mfu:5.1f}% MFU" if mfu is not None else "   n/a    "
+        print(f"  {w:14s} {v:10.2f} {u:13s} {mfu_s}")
 
 
 if __name__ == "__main__":

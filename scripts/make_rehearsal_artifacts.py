@@ -17,7 +17,16 @@ Produces:
                                     EMA-shadow branch AND the DDP prefix strip
                                     (reference generate.py:74-93)
   <out>/fid_inception_v3.npz        seeded random FIDInceptionV3 variables in
-                                    scripts/convert_inception.py's npz layout
+                                    scripts/convert_inception.py's npz layout.
+                                    NEVER copy this file to the stock cache
+                                    path (~/.cache/ddpm_tpu/fid_inception_v3
+                                    .npz): that location is reserved for the
+                                    REAL converted weights, and stats computed
+                                    there get untagged reference-compatible
+                                    cache names. Point INCEPTION_NPZ at this
+                                    file instead (as rehearse_parity_gate.sh
+                                    does) so every derived stat carries a
+                                    weights tag (metrics.weights_cache_tag).
   <out>/datasets/cifar-10-batches-py/  synthetic CIFAR-10 pickle batches in
                                     the real disk format (channel-major rows)
 """

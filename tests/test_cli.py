@@ -206,6 +206,11 @@ def test_eval_cli_end_to_end_with_injected_extractor(tmp_path, monkeypatch, caps
     assert manifold_k3.exists()
     text = (tmp_path / "metrics.txt").read_text()
     assert "fid" in text and "precision" in text
+    # PR provenance: with the VGG weights absent the fallback ran on
+    # Inception features, and the recorded results must say so — a bare
+    # precision/recall number is meaningless without its feature space
+    assert "pr_embedding" in text and "inception" in text
+    assert "embedding: inception" in out
 
     # second run consumes both caches (get_precomputed + manifold load)
     k3_mtime = manifold_k3.stat().st_mtime_ns

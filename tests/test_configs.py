@@ -12,7 +12,24 @@ from ddpm_tpu.utils.config import bundled_configs
 
 
 def test_bundled_config_names():
-    assert bundled_configs() == ["celeba", "celebahq", "cifar10"]
+    # the three reference configs plus blobs64 (the offline disk-pipeline
+    # convergence workload; no reference counterpart)
+    assert bundled_configs() == ["blobs64", "celeba", "celebahq", "cifar10"]
+
+
+def test_blobs64_config_matches_celeba_architecture():
+    """blobs64 is the disk-pipeline convergence workload: the CelebA MODEL
+    and diffusion sections exactly (attn at level 2, fixed-small — the
+    architecture VERDICT r3 asked to drive through the FileDataset path),
+    with its own training budget (lr 2e-4: Blobs converges ~10x faster than
+    faces, so celeba's 2e-5 would waste the schedule)."""
+    cfg = load_config("blobs64")
+    ref = load_config("celeba")
+    assert cfg.dataset == "blobs64"
+    assert cfg.model == ref.model
+    assert cfg.diffusion == ref.diffusion
+    assert cfg.train.lr == 2e-4
+    assert cfg.train.use_ema is True
 
 
 def test_cifar10_config_values():

@@ -175,16 +175,40 @@ def test_inception_extractor_shards_over_mesh(eight_devices):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_weights_cache_tag_keys_on_override(monkeypatch):
-    from ddpm_tpu.metrics import weights_cache_tag
+def test_weights_cache_tag_keys_on_effective_path(monkeypatch):
+    from ddpm_tpu.metrics import _STOCK_INCEPTION_WEIGHTS, weights_cache_tag
 
-    # stock location: reference-compatible (untagged) cache names
+    # the stock converted-weight location: reference-compatible (untagged)
+    # cache names — regardless of whether the env var spells it out
     monkeypatch.delenv("INCEPTION_NPZ", raising=False)
-    assert weights_cache_tag("/x/fid_inception_v3.npz", "INCEPTION_NPZ") == ""
-    # override: tag is path-derived, stable, and distinct per path
+    assert weights_cache_tag(_STOCK_INCEPTION_WEIGHTS, "INCEPTION_NPZ") == ""
+    assert weights_cache_tag(None, "INCEPTION_NPZ") == ""
+    monkeypatch.setenv("INCEPTION_NPZ", _STOCK_INCEPTION_WEIGHTS)
+    assert weights_cache_tag(None, "INCEPTION_NPZ") == ""
+    # ANY other effective path is tagged — even with no env override in
+    # sight (Evaluator(inception_weights=...) must not read/write the
+    # untagged stock cache entry)
+    monkeypatch.delenv("INCEPTION_NPZ", raising=False)
+    t0 = weights_cache_tag("/x/fid_inception_v3.npz", "INCEPTION_NPZ")
+    assert t0 and t0.startswith("_fid_inception_v3-")
+    # tag is path-derived, stable, and distinct per path
     monkeypatch.setenv("INCEPTION_NPZ", "/tmp/a/weights.npz")
     t1 = weights_cache_tag("/tmp/a/weights.npz", "INCEPTION_NPZ")
     t2 = weights_cache_tag("/tmp/b/weights.npz", "INCEPTION_NPZ")
     assert t1 and t2 and t1 != t2
     assert t1 == weights_cache_tag("/tmp/a/weights.npz", "INCEPTION_NPZ")
     assert t1.startswith("_weights-")
+    # env var alone (no explicit path argument) also resolves to the override
+    assert weights_cache_tag(None, "INCEPTION_NPZ") == t1
+
+
+def test_fid_stats_split_per_dataset():
+    from ddpm_tpu.data import fid_stats_split
+
+    assert fid_stats_split("cifar10") == "train"
+    assert fid_stats_split("mnist") == "train"
+    assert fid_stats_split("celeba") == "all"
+    assert fid_stats_split("celebahq") == "all"
+    # Blobs: target statistics come from a fresh test draw, disjoint from
+    # the training stream (datasets.py Blobs.fid_split)
+    assert fid_stats_split("blobs") == "test"
