@@ -372,6 +372,7 @@ def build_unet(
     model_cfg,
     channels: int,
     *,
+    out_channels: int | None = None,
     dtype=jnp.float32,
     block_size: int = 1,
     remat: bool = False,
@@ -384,16 +385,22 @@ def build_unet(
 
     Mirrors the reference's ``UNet(**config["model"])`` (train.py:64-68) with
     CLI fallbacks for datasets that run configless; shared by train.py and
-    generate.py so the two can never drift.
+    generate.py so the two can never drift. ``out_channels`` overrides both
+    config and the channel default — the caller passes ``2 * channels`` under
+    ``model_var_type="learned"`` so the head emits (mean-param, logvar-frac)
+    channel pairs (reference train.py:63 computes this and overwrites the
+    config value the same way).
     """
     model_cfg = model_cfg or {}
     apply_attn = model_cfg.get("apply_attn", (False, True, False, False))
     if isinstance(apply_attn, list):
         apply_attn = tuple(apply_attn)
+    if out_channels is None:
+        out_channels = model_cfg.get("out_channels", channels)
     return UNet(
         in_channels=model_cfg.get("in_channels", channels),
         hid_channels=model_cfg.get("hid_channels", 128),
-        out_channels=model_cfg.get("out_channels", channels),
+        out_channels=out_channels,
         ch_multipliers=tuple(model_cfg.get("ch_multipliers", (1, 2, 2, 2))),
         num_res_blocks=model_cfg.get("num_res_blocks", 2),
         apply_attn=apply_attn,

@@ -113,9 +113,14 @@ def main():
 
     info = DATASET_INFO[dataset]
     res, channels = info["resolution"][0], info["channels"]
+    # learned-variance checkpoints carry a 2C-channel head; rebuild it the
+    # same way train.py did (the reference's generate.py:61 pins
+    # out_channels=in_channels and so cannot reload its own learned-var
+    # models — deliberate divergence)
     model = build_unet(
         model_cfg,
         channels,
+        out_channels=2 * channels if var_type == "learned" else channels,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 

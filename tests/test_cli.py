@@ -84,6 +84,46 @@ def test_train_dry_run(tiny_config_path, tmp_path, capsys):
     assert hps["train"]["lr"] == 1e-3  # config won over the CLI default
 
 
+def test_train_generate_learned_variance_roundtrip(tmp_path, capsys):
+    """--model-var-type learned end to end: train.py builds the 2C-channel
+    head (reference train.py:63 doubles out_channels; round-4 fix — it was
+    silently C before), checkpoints it, and generate.py rebuilds the SAME
+    2C head to sample from the checkpoint (the reference's generate.py:61
+    pins out_channels=in_channels and cannot reload learned-var models —
+    deliberate divergence)."""
+    cfg = json.loads(json.dumps(TINY_CONFIG))
+    cfg["diffusion"]["model_var_type"] = "learned"
+    cfg["diffusion"]["loss_type"] = "kl"
+    cfg_path = tmp_path / "learned.json"
+    cfg_path.write_text(json.dumps(cfg))
+    chkpt_dir = str(tmp_path / "c")
+    run_main(
+        train_cli,
+        [
+            "--config-path", str(cfg_path),
+            "--num-samples", "8",
+            "--chkpt-intv", "1",
+            "--image-intv", "100",
+            "--chkpt-dir", chkpt_dir,
+            "--image-dir", str(tmp_path / "i"),
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "epoch 1/1" in out and "nan" not in out
+    run_main(
+        generate_cli,
+        [
+            "--config-path", str(cfg_path),
+            "--chkpt-path", os.path.join(chkpt_dir, "ddpm_fakedata", "1"),
+            "--total-size", "8",
+            "--batch-size", "8",
+            "--use-ema",
+            "--save-dir", str(tmp_path / "g"),
+        ],
+    )
+    assert "wrote 8 PNGs" in capsys.readouterr().out
+
+
 def test_train_then_generate_roundtrip(tiny_config_path, tmp_path, capsys):
     chkpt_dir = str(tmp_path / "c")
     run_main(

@@ -151,9 +151,13 @@ def train(args):
     info = DATASET_INFO[dataset]
     res = info["resolution"][0]
     channels = info["channels"]
+    # learned variance: the head emits 2C channels (mean-param + logvar
+    # interpolation fraction), reference train.py:63
+    out_channels = 2 * channels if diffusion.model_var_type == "learned" else channels
     model = build_unet(
         model_cfg,
         channels,
+        out_channels=out_channels,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         block_size=args.block_size,
         remat=args.remat,
