@@ -1,7 +1,16 @@
 """Benchmark: CIFAR-10 DDPM training throughput (imgs/sec/chip).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+``value`` is the pure fused-step rate over a 390-step chained window with a
+single final value-fetch sync; ``sustained_trainer_imgs_per_sec`` is the
+full production Trainer.train loop (uint8 loader + prefetch + logging +
+stacked loss drain) over 390-batch epochs — both numbers the round-4
+reconciliation (docs/performance.md "Step rate vs sustained rate",
+logs/reconcile_r04.json) showed must be reported together: short windows
+overstate step time by ~1.5 ms/step of amortized tunnel sync, which is how
+round 3 ended up with a "sustained loop faster than its step" paradox.
 
 Workload anchor: configs/cifar10.json (batch 128, UNet hid=128, mult
 (1,2,2,2), 2 res blocks, attention at 16x16, T=1000, eps/fixed-large/mse) —
@@ -18,7 +27,14 @@ A100 number; until a co-located A100 measurement exists it is an estimate
 from __future__ import annotations
 
 import json
+import os
+import re
 import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +42,9 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC_PER_CHIP = 420.0  # PyTorch A100 estimate (see docstring)
 
 BATCH = 128
-STEPS = 30
-WARMUP = 3
+STEPS = 390  # steady-state window; final-sync tunnel round trip amortizes to ~0.1 ms/step
+WARMUP = 5
+TRAINER_EPOCHS = 2  # sustained arm: epoch 1 warms the u8 program, epoch 2 is measured
 
 
 def main():
@@ -79,6 +96,7 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    sustained = sustained_trainer_rate(model, diffusion, state, mesh, n_chips)
     print(
         json.dumps(
             {
@@ -86,9 +104,41 @@ def main():
                 "value": round(imgs_per_sec_per_chip, 2),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+                "step_window": STEPS,
+                "sustained_trainer_imgs_per_sec": round(sustained, 2),
             }
         )
     )
+
+
+def sustained_trainer_rate(model, diffusion, state, mesh, n_chips) -> float:
+    """Full Trainer.train loop (u8 loader + prefetch + logging + loss drain).
+
+    Mirrors scripts/bench_reconcile.py's trainer_ema arm at reduced epoch
+    count: the per-epoch log line's imgs/s is the sustained rate; epoch 1
+    absorbs the uint8-input program compile (cache-warm: seconds), epoch 2+
+    is steady state.
+    """
+    from ddpm_tpu.data import get_dataloader
+    from ddpm_tpu.train import Trainer
+
+    loader, _ = get_dataloader(
+        "fakedata", BATCH, "train", size=BATCH * 390, device_normalize=True
+    )
+    rates: list[float] = []
+
+    def logger(msg):
+        m = re.search(r"\(([0-9.]+) imgs/s\)", msg)
+        if m:
+            rates.append(float(m.group(1)))
+
+    trainer = Trainer(
+        model, diffusion, state, loader, epochs=TRAINER_EPOCHS, mesh=mesh,
+        image_intv=10**9, chkpt_intv=10**9, logger=logger,
+    )
+    trainer.train()
+    best = max(rates[1:]) if len(rates) > 1 else rates[-1]
+    return best / n_chips
 
 
 if __name__ == "__main__":

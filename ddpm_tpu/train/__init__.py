@@ -1,8 +1,10 @@
 from .checkpoint import latest_epoch, load_checkpoint, resolve_checkpoint, save_checkpoint
 from .state import DummyScheduler, TrainState, make_optimizer, warmup_schedule
 from .step import draw_input, make_sample_fn, make_train_step
+from .trainer import Trainer
 
 __all__ = [
+    "Trainer",
     "TrainState",
     "make_optimizer",
     "warmup_schedule",

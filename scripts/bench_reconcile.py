@@ -128,40 +128,49 @@ def trainer_rate(use_ema: bool, naive_drain: bool = False, batches: int = 390,
     return max(rates[1:]) if len(rates) > 1 else rates[-1]
 
 
+ARMS = {
+    "step_ema30": lambda: chained_step_rate(True, 30),
+    "step_ema120": lambda: chained_step_rate(True, 120),
+    "step_ema390": lambda: chained_step_rate(True, 390),
+    "step_noema120": lambda: chained_step_rate(False, 120),
+    "trainer_ema": lambda: trainer_rate(True),
+    "trainer_noema": lambda: trainer_rate(False),
+    "trainer_ema_naivedrain": lambda: trainer_rate(True, naive_drain=True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="")
+    ap.add_argument("--arms", default=",".join(ARMS))
     args = ap.parse_args()
     results = {}
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            results.update(json.load(f))  # resume partial runs
 
-    def run(name, fn):
+    for name in args.arms.split(","):
         t0 = time.time()
-        results[name] = round(fn(), 1)
+        results[name] = round(ARMS[name](), 1)
         print(json.dumps({"arm": name, "imgs_per_s_per_chip": results[name],
                           "wall_s": round(time.time() - t0, 1)}), flush=True)
-
-    run("step_ema30", lambda: chained_step_rate(True, 30))
-    run("step_ema120", lambda: chained_step_rate(True, 120))
-    run("step_ema390", lambda: chained_step_rate(True, 390))
-    run("step_noema120", lambda: chained_step_rate(False, 120))
-    run("trainer_ema", lambda: trainer_rate(True))
-    run("trainer_noema", lambda: trainer_rate(False))
-    run("trainer_ema_naivedrain", lambda: trainer_rate(True, naive_drain=True))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
     ms = {k: 1000.0 * BATCH / v for k, v in results.items()}
     print("\nper-step ms:", {k: round(v, 2) for k, v in ms.items()})
-    print(f"window-sync overhead (30 vs 390): "
-          f"{ms['step_ema30'] - ms['step_ema390']:+.2f} ms/step")
-    print(f"EMA update cost (chained, 120): "
-          f"{ms['step_ema120'] - ms['step_noema120']:+.2f} ms/step")
-    print(f"trainer loop vs chained step (both EMA): "
-          f"{ms['trainer_ema'] - ms['step_ema390']:+.2f} ms/step")
-    print(f"drain fix, matched EMA: naive {results['trainer_ema_naivedrain']} "
-          f"-> stacked {results['trainer_ema']} imgs/s "
-          f"({results['trainer_ema'] / results['trainer_ema_naivedrain']:.2f}x)")
+    if all(k in ms for k in ARMS):
+        print(f"window-sync overhead (30 vs 390): "
+              f"{ms['step_ema30'] - ms['step_ema390']:+.2f} ms/step")
+        print(f"EMA update cost (chained, 120): "
+              f"{ms['step_ema120'] - ms['step_noema120']:+.2f} ms/step")
+        print(f"trainer loop vs chained step (both EMA): "
+              f"{ms['trainer_ema'] - ms['step_ema390']:+.2f} ms/step")
+        print(f"drain fix, matched EMA: naive {results['trainer_ema_naivedrain']} "
+              f"-> stacked {results['trainer_ema']} imgs/s "
+              f"({results['trainer_ema'] / results['trainer_ema_naivedrain']:.2f}x)")
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
         print(f"wrote {args.out}")
 
 
