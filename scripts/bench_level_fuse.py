@@ -1,0 +1,134 @@
+"""A/B the whole-level Res->Attn Pallas program against XLA, on the real chip.
+
+The round-3 conv_gn post-mortem (docs/performance.md) concluded the only
+route left past the custom-call layout tax is owning an ENTIRE UNet level as
+one kernel. ops/pallas/level_fuse.py is that kernel (eval-mode forward:
+GN+SiLU -> conv1 -> +emb -> GN+SiLU -> conv2 -> +x -> GN -> qkv ->
+softmax(QK^T/sqrt(C))V -> proj -> +r). This script measures it both ways the
+verdict needs:
+
+  1. op level: a DEPTH-deep lax.scan chain of the unit, fused kernel vs the
+     identical plain-XLA subgraph (res_attn_reference) — same operands, same
+     dtype, single value-fetch sync (tunnel rules, docs/performance.md).
+  2. in situ: the unit sandwiched between two 3x3 convs (XLA-owned
+     producer/consumer), so the entry/exit layout boundary the previous four
+     attacks died on is part of the measurement.
+
+  python scripts/bench_level_fuse.py [--batch 128] [--hw 16] [--ch 256]
+       [--depth 6] [--iters 5] [--block-b 4] [--fp32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpm_tpu.ops.pallas.level_fuse import res_attn_fused, res_attn_reference, supports
+
+
+def make_params(rng, C):
+    g = lambda *s: jnp.asarray(rng.normal(0, 0.05, s), jnp.float32)  # noqa: E731
+    return {
+        "gn1_scale": g(C) + 1.0, "gn1_bias": g(C),
+        "conv1_w": g(3, 3, C, C), "conv1_b": g(C),
+        "gn2_scale": g(C) + 1.0, "gn2_bias": g(C),
+        "conv2_w": g(3, 3, C, C) * 0.2, "conv2_b": g(C),
+        "gn3_scale": g(C) + 1.0, "gn3_bias": g(C),
+        "qkv_w": g(C, 3 * C), "qkv_b": g(3 * C),
+        "proj_w": g(C, C) * 0.2, "proj_b": g(C),
+    }
+
+
+def bench(fn, args_, iters, sync):
+    out = fn(*args_)  # compile + warm
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args_)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", default=128, type=int)
+    ap.add_argument("--hw", default=16, type=int)
+    ap.add_argument("--ch", default=256, type=int)
+    ap.add_argument("--depth", default=6, type=int)
+    ap.add_argument("--iters", default=5, type=int)
+    ap.add_argument("--block-b", default=4, type=int)
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    B, HW, C = args.batch, args.hw, args.ch
+    assert supports((B, HW, HW, C), args.block_b, np.dtype(dtype).itemsize), \
+        "shape outside the validated kernel envelope"
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, HW, HW, C)), dtype)
+    emb = jnp.asarray(rng.normal(0, 0.05, (B, C)), jnp.float32)
+    p = make_params(rng, C)
+    sandwich_w = jnp.asarray(rng.normal(0, 0.05, (3, 3, C, C)), jnp.float32)
+
+    unit_xla = lambda h: res_attn_reference(h, emb, p)  # noqa: E731
+    unit_fused = lambda h: res_attn_fused(h, emb, p, args.block_b)  # noqa: E731
+
+    def chain(unit):
+        def run(h):
+            def body(carry, _):
+                return unit(carry).astype(dtype), None
+
+            h, _ = jax.lax.scan(body, h, None, length=args.depth)
+            return (h.astype(jnp.float32) ** 2).mean()
+
+        return jax.jit(run)
+
+    def sandwiched(unit):
+        # conv -> unit -> conv: XLA owns the producing/consuming layouts, so
+        # any entry/exit copies the custom call forces are inside the timing
+        def conv(h):
+            return jax.lax.conv_general_dilated(
+                h, sandwich_w.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def run(h):
+            def body(carry, _):
+                return conv(unit(conv(carry))).astype(dtype), None
+
+            h, _ = jax.lax.scan(body, h, None, length=args.depth)
+            return (h.astype(jnp.float32) ** 2).mean()
+
+        return jax.jit(run)
+
+    def sync(v):
+        float(v)  # value fetch — honest sync over the axon tunnel
+
+    results = {}
+    for name, unit in [("xla", unit_xla), ("fused", unit_fused)]:
+        t_op = bench(chain(unit), (x,), args.iters, sync)
+        t_situ = bench(sandwiched(unit), (x,), args.iters, sync)
+        results[name] = (t_op, t_situ)
+        print(
+            f"{name:6s}: unit {t_op / args.depth * 1e3:7.3f} ms   "
+            f"sandwiched(conv-unit-conv) {t_situ / args.depth * 1e3:7.3f} ms"
+        )
+
+    ya, yb = unit_xla(x), unit_fused(x)
+    diff = float(jnp.abs(ya.astype(jnp.float32) - yb.astype(jnp.float32)).max())
+    print(f"max abs diff xla vs fused (one unit, {np.dtype(dtype).name}): {diff:.3e}")
+    a, b = results["xla"], results["fused"]
+    print(f"speedup: unit {a[0] / b[0]:.3f}x   sandwiched {a[1] / b[1]:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -428,3 +428,68 @@ def test_conv_gn_supports_budgets_per_dtype():
     assert not conv_gn_mod.supports(x_shape, w_shape)
     # a small-enough shape passes either way
     assert conv_gn_mod.supports((8, 8, 8, 128), w_shape, itemsize=4)
+
+
+from ddpm_tpu.ops.pallas import level_fuse as level_fuse_mod  # noqa: E402
+from ddpm_tpu.ops.pallas.level_fuse import (  # noqa: E402
+    params_from_module,
+    res_attn_fused,
+    res_attn_reference,
+)
+
+
+def _level_case(dtype=jnp.float32, B=4, H=8, C=256, seed=0):
+    """Real flax modules (models/unet.py) provide both params and oracle."""
+    from ddpm_tpu.models.unet import AttentionBlock, ResidualBlock
+
+    key = jax.random.key(seed)
+    x = jax.random.normal(key, (B, H, H, C), jnp.float32).astype(dtype)
+    t_emb = jax.random.normal(jax.random.fold_in(key, 1), (B, 2 * C), jnp.float32)
+    res = ResidualBlock(out_channels=C, dtype=dtype)
+    attn = AttentionBlock(dtype=dtype)
+    rp = res.init(jax.random.fold_in(key, 2), x, t_emb)["params"]
+    r = res.apply({"params": rp}, x, t_emb)
+    ap = attn.init(jax.random.fold_in(key, 3), r)["params"]
+    y = attn.apply({"params": ap}, r)
+    emb = (jax.nn.silu(t_emb) @ rp["fc"]["kernel"] + rp["fc"]["bias"]).astype(dtype)
+    return x, emb, params_from_module(rp, ap), y
+
+
+def test_level_fuse_matches_flax_modules_f32():
+    # the fused Res->Attn level equals AttentionBlock(ResidualBlock(x)) run
+    # through the actual model modules, params adapted verbatim
+    x, emb, p, y_flax = _level_case()
+    y_ref = res_attn_reference(x, emb, p)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_flax), atol=2e-5)
+    y_k = res_attn_fused(x, emb, p, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_flax), atol=2e-5)
+
+
+def test_level_fuse_multiblock_grid():
+    # 8 images over 2 grid steps must equal the single-shot reference
+    x, emb, p, y_flax = _level_case(B=8, seed=5)
+    y_k = res_attn_fused(x, emb, p, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_flax), atol=2e-5)
+
+
+def test_level_fuse_bf16():
+    x, emb, p, _ = _level_case(dtype=jnp.bfloat16, seed=7)
+    y_ref = res_attn_reference(x, emb, p)
+    y_k = res_attn_fused(x, emb, p, block_b=4, interpret=True)
+    # bf16 rounding differs op-by-op; agreement to ~bf16 ulp of the scale
+    np.testing.assert_allclose(
+        np.asarray(y_k, np.float32), np.asarray(y_ref, np.float32), atol=0.125, rtol=0.05
+    )
+
+
+def test_level_fuse_supports_envelope():
+    assert level_fuse_mod.supports((128, 16, 16, 256), block_b=4, itemsize=2)
+    assert level_fuse_mod.supports((128, 8, 8, 256), block_b=4, itemsize=2)
+    # N > 256 tokens (32x32) out of envelope; C off the lane grid; cpg < 8
+    assert not level_fuse_mod.supports((128, 32, 32, 256))
+    assert not level_fuse_mod.supports((128, 16, 16, 192))
+    assert not level_fuse_mod.supports((128, 16, 16, 128))
+    # unsupported shape falls back to the reference path
+    x, emb, p, y_flax = _level_case(C=128, seed=9)
+    y = res_attn_fused(x, emb, p, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_flax), atol=2e-5)
