@@ -78,17 +78,81 @@ class _ConvParams(nn.Module):
 
     features: int
     kernel_size: int = 3
+    kernel_init: nn.initializers.Initializer = DEFAULT_INIT
 
     @nn.compact
     def __call__(self, in_features: int):
         k = self.param(
             "kernel",
-            DEFAULT_INIT,
+            self.kernel_init,
             (self.kernel_size, self.kernel_size, in_features, self.features),
             jnp.float32,
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return k, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree (``{kernel, bias}``)."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer = DEFAULT_INIT
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _GN32Params(nn.Module):
+    """Parameter holder matching GroupNorm32's tree
+    (``GroupNorm_0/{scale, bias}``, nn/modules.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        from ..nn.modules import _GNParams
+
+        return _GNParams(self.features, name="GroupNorm_0")()
+
+
+class _FusedResBlockParams(nn.Module):
+    """ResidualBlock's exact param tree (same-channel case: no skip conv),
+    declared without running the block — the whole-level fused path
+    (ops/pallas/level_fuse.py) consumes the raw parameters instead.
+    Checkpoints are interchangeable with the module path by construction."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, in_ch: int, embed_dim: int):
+        g1 = _GN32Params(in_ch, name="norm1")()
+        fc = _DenseParams(self.out_channels, name="fc")(embed_dim)
+        c1 = _ConvParams(self.out_channels, 3, name="conv1")(in_ch)
+        g2 = _GN32Params(self.out_channels, name="norm2")()
+        c2 = _ConvParams(self.out_channels, 3, kernel_init=ZERO_INIT, name="conv2")(
+            self.out_channels
+        )
+        return g1, fc, c1, g2, c2
+
+
+class _FusedAttnParams(nn.Module):
+    """AttentionBlock's exact param tree (identity-skip case)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        g = _GN32Params(self.channels, name="norm")()
+        qkv = _DenseParams(3 * self.channels, name="project_in")(self.channels)
+        proj = _DenseParams(self.channels, kernel_init=ZERO_INIT, name="project_out")(
+            self.channels
+        )
+        return g, qkv, proj
 
 
 class ResidualBlock(nn.Module):
@@ -253,6 +317,16 @@ class UNet(nn.Module):
     # storing them — the HBM-for-FLOPs trade that fits CelebA-HQ 256^2 at
     # batch 64 in one chip's memory.
     remat: bool = False
+    # Whole-level fusion for the sampling path: every same-channel
+    # ResidualBlock -> AttentionBlock pair at an attention level (and the
+    # mid_res1 -> mid_attn pair) runs as ONE Pallas program
+    # (ops/pallas/level_fuse.py) when eval-mode and in the kernel's
+    # validated envelope — all intermediates stay in VMEM, the three
+    # GroupNorms' statistics never touch HBM, and the custom-call layout
+    # boundary is paid once per level instead of once per op. Parameter
+    # trees are identical to the module path (checkpoint-interchangeable);
+    # training mode always uses the modules (dropout + autodiff).
+    fuse_level: bool = False
 
     def _apply_attn(self, level: int) -> bool:
         if isinstance(self.apply_attn, bool):
@@ -281,7 +355,43 @@ class UNet(nn.Module):
             nn.silu(t_emb)
         )
 
+        def fused_pair(h, out_ch, res_name, attn_name):
+            # declare the modules' exact param trees, then run the whole
+            # Res->Attn unit as one Pallas program (kernel falls back to an
+            # identical-math XLA path off-envelope/off-TPU)
+            from ..ops.pallas import level_fuse
+
+            g1, fc, c1, g2, c2 = _FusedResBlockParams(out_ch, name=res_name)(
+                h.shape[-1], t_emb.shape[-1]
+            )
+            g3, qkv, proj = _FusedAttnParams(out_ch, name=attn_name)()
+            fck, fcb = fc
+            emb = (
+                nn.silu(t_emb) @ fck.astype(self.dtype) + fcb.astype(self.dtype)
+            )
+            p = {
+                "gn1_scale": g1[0], "gn1_bias": g1[1],
+                "conv1_w": c1[0], "conv1_b": c1[1],
+                "gn2_scale": g2[0], "gn2_bias": g2[1],
+                "conv2_w": c2[0], "conv2_b": c2[1],
+                "gn3_scale": g3[0], "gn3_bias": g3[1],
+                "qkv_w": qkv[0], "qkv_b": qkv[1],
+                "proj_w": proj[0], "proj_b": proj[1],
+            }
+            return level_fuse.res_attn_fused(
+                h, emb, p, 4, level_fuse.FORCE_INTERPRET
+            )
+
+        def use_fused(h, out_ch):
+            if not self.fuse_level or train or h.shape[-1] != out_ch:
+                return False
+            from ..ops.pallas import level_fuse
+
+            return jax.default_backend() == "tpu" or level_fuse.FORCE_INTERPRET
+
         def block(h, out_ch, level, name):
+            if self._apply_attn(level) and use_fused(h, out_ch):
+                return fused_pair(h, out_ch, f"{name}_res", f"{name}_attn")
             h = ResBlock(
                 out_ch, drop_rate=self.drop_rate, dtype=self.dtype,
                 fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
@@ -312,15 +422,18 @@ class UNet(nn.Module):
                 hs.append(h)
 
         # --- middle ---
-        h = ResBlock(
-            chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
-            fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
-            fuse_conv_gn=self.fuse_conv_gn, name="mid_res1",
-        )(hs[-1], t_emb, train)
-        h = AttnBlock(
-            dtype=self.dtype, use_flash=self.use_flash, fuse_gn=self.fuse_gn,
-            gn_pallas_stats=self.gn_pallas_stats, name="mid_attn"
-        )(h)
+        if use_fused(hs[-1], chs[-1]):
+            h = fused_pair(hs[-1], chs[-1], "mid_res1", "mid_attn")
+        else:
+            h = ResBlock(
+                chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
+                fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
+                fuse_conv_gn=self.fuse_conv_gn, name="mid_res1",
+            )(hs[-1], t_emb, train)
+            h = AttnBlock(
+                dtype=self.dtype, use_flash=self.use_flash, fuse_gn=self.fuse_gn,
+                gn_pallas_stats=self.gn_pallas_stats, name="mid_attn"
+            )(h)
         h = ResBlock(
             chs[-1], drop_rate=self.drop_rate, dtype=self.dtype,
             fuse_gn=self.fuse_gn, gn_pallas_stats=self.gn_pallas_stats,
@@ -380,6 +493,7 @@ def build_unet(
     use_flash: bool = False,
     gn_pallas_stats: bool = False,
     fuse_conv_gn: bool = False,
+    fuse_level: bool = False,
 ) -> UNet:
     """Build a UNet from a config 'model' section plus dataset channel count.
 
@@ -412,4 +526,5 @@ def build_unet(
         use_flash=bool(model_cfg.get("use_flash", use_flash)),
         gn_pallas_stats=bool(model_cfg.get("gn_pallas_stats", gn_pallas_stats)),
         fuse_conv_gn=bool(model_cfg.get("fuse_conv_gn", fuse_conv_gn)),
+        fuse_level=bool(model_cfg.get("fuse_level", fuse_level)),
     )

@@ -52,6 +52,13 @@ def main():
     )
     parser.add_argument("--pred-freq", default=50, type=int)
     parser.add_argument(
+        "--fuse-level", action="store_true",
+        help="run every same-channel ResBlock->AttentionBlock pair as one "
+        "Pallas program (ops/pallas/level_fuse.py): eval-mode sampling "
+        "fusion; checkpoints are interchangeable with the default path "
+        "(A/B numbers in docs/performance.md)",
+    )
+    parser.add_argument(
         "--distributed", action="store_true",
         help="multi-host SPMD generation: one launch per host, each writes "
         "only its own shard (replaces reference mp.spawn, generate.py:168-172)",
@@ -122,6 +129,7 @@ def main():
         channels,
         out_channels=2 * channels if var_type == "learned" else channels,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fuse_level=getattr(args, "fuse_level", False),
     )
 
     params = model.init(

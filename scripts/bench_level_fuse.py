@@ -58,6 +58,54 @@ def bench(fn, args_, iters, sync):
     return (time.perf_counter() - t0) / iters
 
 
+def sampler_ab(args):
+    """End-to-end: the CelebA-architecture DDIM-50 sampler (attention at
+    16x16x256 — the kernel's native shape; 3 fusible units per model call:
+    down_2_0, down_2_1, mid) with fuse_level off vs on, same params."""
+    from ddpm_tpu.diffusion import ddim_from_betas, get_selection_schedule
+    from ddpm_tpu.math import get_beta_schedule
+    from ddpm_tpu.models import build_unet
+    from ddpm_tpu.parallel import make_mesh
+    from ddpm_tpu.train import TrainState, make_optimizer, make_sample_fn
+    from ddpm_tpu.utils.config import load_config
+
+    cfg = load_config("celeba")
+    mesh = make_mesh()
+    dcfg = cfg["diffusion"]
+    betas = get_beta_schedule(
+        dcfg["beta_schedule"], dcfg["beta_start"], dcfg["beta_end"], dcfg["timesteps"]
+    )
+    subsequence = get_selection_schedule("linear", 50, dcfg["timesteps"])
+    diffusion = ddim_from_betas(
+        betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"],
+        eta=0.0, subsequence=subsequence,
+    )
+    batch = args.batch
+    x = jnp.zeros((batch, 64, 64, 3), jnp.float32)
+    t = jnp.zeros((batch,), jnp.int32)
+    rates = {}
+    params = None
+    for name, fuse in [("xla", False), ("fused", True)]:
+        model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16, fuse_level=fuse)
+        if params is None:
+            params = jax.jit(model.init)(jax.random.key(0), x, t)["params"]
+        state = TrainState.create(params, make_optimizer(lr=2e-4), use_ema=False)
+        sample = make_sample_fn(
+            model.apply, diffusion, (batch, 64, 64, 3), use_ema=False, mesh=mesh
+        )
+        key = jax.random.key(0)
+        out = sample(state, key)
+        float(jnp.asarray(out).astype(jnp.float32).mean())
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = sample(state, jax.random.fold_in(key, i))
+        float(jnp.asarray(out).astype(jnp.float32).mean())
+        dt = time.perf_counter() - t0
+        rates[name] = batch * args.iters / dt
+        print(f"{name:6s}: DDIM-50 celeba-64 sampler {rates[name]:8.2f} imgs/s")
+    print(f"sampler speedup: {rates['fused'] / rates['xla']:.3f}x")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", default=128, type=int)
@@ -67,7 +115,12 @@ def main():
     ap.add_argument("--iters", default=5, type=int)
     ap.add_argument("--block-b", default=4, type=int)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--sampler", action="store_true",
+                    help="end-to-end DDIM-50 celeba-64 sampler A/B instead "
+                    "of the unit-chain measurement")
     args = ap.parse_args()
+    if args.sampler:
+        return sampler_ab(args)
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     B, HW, C = args.batch, args.hw, args.ch

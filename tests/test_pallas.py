@@ -493,3 +493,36 @@ def test_level_fuse_supports_envelope():
     x, emb, p, y_flax = _level_case(C=128, seed=9)
     y = res_attn_fused(x, emb, p, block_b=4, interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_flax), atol=2e-5)
+
+
+def test_unet_fuse_level_checkpoint_compatible():
+    # fuse_level declares the SAME param tree via holders and produces the
+    # same eval-mode output through the fused path (interpret kernel) as the
+    # module path — so checkpoints are interchangeable
+    from ddpm_tpu.models import build_unet
+    from ddpm_tpu.ops.pallas import level_fuse as lf_mod
+
+    cfg = {"hid_channels": 64, "ch_multipliers": [1, 2, 4], "num_res_blocks": 1,
+           "apply_attn": [False, False, True], "drop_rate": 0.1}
+    x = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    t = jnp.zeros((4,), jnp.int32)
+    m0 = build_unet(cfg, 3)
+    m1 = build_unet(cfg, 3, fuse_level=True)
+    p0 = m0.init(jax.random.key(0), x, t)["params"]
+    old = lf_mod.FORCE_INTERPRET
+    lf_mod.FORCE_INTERPRET = True
+    try:
+        p1 = m1.init(jax.random.key(0), x, t)["params"]
+        assert jax.tree.structure(p0) == jax.tree.structure(p1)
+        xr = jax.random.normal(jax.random.key(1), x.shape)
+        y0 = m0.apply({"params": p0}, xr, t)
+        y1 = m1.apply({"params": p0}, xr, t)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+        # training mode routes through the modules (dropout lives there)
+        y_tr = m1.apply(
+            {"params": p0}, xr, t, train=True,
+            rngs={"dropout": jax.random.key(2)},
+        )
+        assert y_tr.shape == y0.shape
+    finally:
+        lf_mod.FORCE_INTERPRET = old
