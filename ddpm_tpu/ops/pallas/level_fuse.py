@@ -8,8 +8,9 @@ single untried route: "own an entire UNet level as one kernel", paying the
 layout boundary once at entry and once at exit while every intermediate
 tensor of the level lives and dies in VMEM.
 
-This kernel is that experiment, scoped to the model family's attention
-level (16x16 or 8x8 tokens, C a multiple of 128): the eval-mode forward of
+This kernel is that experiment, scoped to the model family's 16x16
+attention level (N = 256 tokens, C a multiple of 128): the eval-mode
+forward of
 
     r = ResidualBlock(x, t_emb)      # GN1+SiLU -> conv1 -> +emb -> GN2+SiLU -> conv2 -> +x
     y = AttentionBlock(r)            # GN3 -> qkv -> softmax(QK^T/sqrt(C))V -> proj -> +r
@@ -32,8 +33,9 @@ Design notes:
     keeping it outside makes the kernel signature model-agnostic).
   * attention is a static per-image loop: N<=256 tokens means the [N,N]
     f32 score matrix is a few vregs; softmax in f32, matmuls on the MXU.
-  * group collapse / broadcast use reshape(B, G, cpg) on the trailing dim
-    only for [B, C]-sized tensors (vreg-resident), never for the big ones.
+  * group collapse / group->channel broadcast are matmuls against a
+    constant [C, G] indicator — Mosaic's vector-layout pass rejects the
+    lane-splitting reshape [C] -> [G, cpg] they replace.
 """
 
 from __future__ import annotations
@@ -55,12 +57,16 @@ EPS = 1e-6
 
 
 def supports(x_shape, block_b: int = 4, itemsize: int = 2) -> bool:
-    """Validated envelope: square spatial <= 16 (N <= 256 tokens), C % 128
-    == 0, batch divisible by the block. VMEM budget ~12 MiB static."""
+    """Validated envelope: 16x16 spatial (N = 256 tokens) ONLY, C % 128 ==
+    0, cpg >= 8, batch divisible by the block. Measured on chip (round 4):
+    at 16x16x256 the kernel matches XLA op-level and wins 1.18x end to end
+    in the celeba-arch DDIM sampler; at 8x8x256 it LOSES ~5% op-level
+    (blocks too small for MXU efficiency) and fusing the 8x8 middle pair
+    lowered the end-to-end win to 1.15x — so smaller levels are excluded."""
     if len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
-    if h != w or h * w > 256 or c % 128 != 0 or c // NUM_GROUPS < 8:
+    if h != w or h * w != 256 or c % 128 != 0 or c // NUM_GROUPS < 8:
         return False
     if b % block_b != 0:
         return False
@@ -75,6 +81,16 @@ def supports(x_shape, block_b: int = 4, itemsize: int = 2) -> bool:
     return vmem <= 12 * 1024 * 1024
 
 
+def _group_matrix(c):
+    """[C, G] 0/1 indicator (channel c in group c // cpg). Group collapse and
+    group->channel broadcast become matmuls — Mosaic's vector-layout pass
+    rejects the lane-splitting reshape [C] -> [G, cpg] this replaces."""
+    cpg = c // NUM_GROUPS
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (c, NUM_GROUPS), 0)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (c, NUM_GROUPS), 1)
+    return (cidx // cpg == gidx).astype(jnp.float32)
+
+
 def _gn_affine(stats_src_f32, scale_ref, bias_ref, n_tokens):
     """Per-image GroupNorm affine from a VMEM-resident f32 [bb, N, C] value.
 
@@ -84,17 +100,17 @@ def _gn_affine(stats_src_f32, scale_ref, bias_ref, n_tokens):
     """
     bb, _, c = stats_src_f32.shape
     cpg = c // NUM_GROUPS
+    m = _group_matrix(c)                                     # [C, G]
     s1 = jnp.sum(stats_src_f32, axis=1)                     # [bb, C]
     s2 = jnp.sum(stats_src_f32 * stats_src_f32, axis=1)     # [bb, C]
-    gs1 = jnp.sum(s1.reshape(bb, NUM_GROUPS, cpg), axis=-1)  # [bb, G]
-    gs2 = jnp.sum(s2.reshape(bb, NUM_GROUPS, cpg), axis=-1)
+    gs1 = jnp.dot(s1, m, preferred_element_type=jnp.float32)  # [bb, G]
+    gs2 = jnp.dot(s2, m, preferred_element_type=jnp.float32)
     n = n_tokens * cpg
     mu = gs1 / n
     var = gs2 / n - mu * mu
     rsigma = jax.lax.rsqrt(var + EPS)
-    # broadcast group -> channels via trailing-dim reshape ([bb, G] is tiny)
-    rs_c = jnp.broadcast_to(rsigma[:, :, None], (bb, NUM_GROUPS, cpg)).reshape(bb, c)
-    mu_c = jnp.broadcast_to(mu[:, :, None], (bb, NUM_GROUPS, cpg)).reshape(bb, c)
+    rs_c = jnp.dot(rsigma, m.T, preferred_element_type=jnp.float32)  # [bb, C]
+    mu_c = jnp.dot(mu, m.T, preferred_element_type=jnp.float32)
     a = rs_c * scale_ref[0].astype(jnp.float32)[None, :]
     b = bias_ref[0].astype(jnp.float32)[None, :] - mu_c * a
     return a, b
@@ -132,6 +148,8 @@ def _level_kernel(
     c = x_ref.shape[-1]
     n = h * w
     dtype = x_ref.dtype
+    emb = emb_ref[0]                                         # [bb, C] (3-D block:
+    # TPU blocks need sublane%8 or full-dim — same trick as conv_gn's stats)
     x = x_ref[:]                                             # [bb, h, w, C]
     xf = x.reshape(bb, n, c).astype(jnp.float32)
 
@@ -139,7 +157,7 @@ def _level_kernel(
     a1, b1 = _gn_affine(xf, gn1s_ref, gn1b_ref, n)
     h1 = _silu(xf * a1[:, None, :] + b1[:, None, :]).astype(dtype)
     acc1 = _conv3x3(h1.reshape(bb, h, w, c), c1w_ref, c1b_ref, bb, h, w, c, dtype)
-    acc1 = acc1 + emb_ref[:].astype(jnp.float32)[:, None, :]
+    acc1 = acc1 + emb.astype(jnp.float32)[:, None, :]
     # GN2's statistics come from the f32 accumulator already in-register.
     # The XLA graph computes them from the bf16-rounded conv output; round
     # first so the fused path is bit-compatible with the unfused model.
@@ -193,7 +211,7 @@ def res_attn_fused(x, emb, p, block_b: int = 4, interpret: bool = False):
     dt = x.dtype
     vec = lambda a: a.reshape(1, -1)  # noqa: E731  (1, K) VMEM rows
     args = (
-        x, emb.astype(dt),
+        x, emb.astype(dt).reshape(bsz // block_b, block_b, c),
         vec(p["gn1_scale"]), vec(p["gn1_bias"]),
         p["conv1_w"].reshape(9, c, c).astype(dt), vec(p["conv1_b"]),
         vec(p["gn2_scale"]), vec(p["gn2_bias"]),
@@ -205,7 +223,7 @@ def res_attn_fused(x, emb, p, block_b: int = 4, interpret: bool = False):
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)  # noqa: E731
     in_specs = [
         pl.BlockSpec((block_b, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_b, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_b, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ] + [full(a) for a in args[2:]]
     y = pl.pallas_call(
         functools.partial(_level_kernel, h=h, w=w),

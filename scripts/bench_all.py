@@ -45,17 +45,23 @@ def _sync(x):
 PEAK_FLOPS = float(os.environ.get("DDPM_TPU_PEAK_FLOPS", 197e12))
 
 
-def _flops_per_item(jitted, n_items, *args) -> float | None:
+def _flops_per_item(jitted, n_items, *args, chain: int = 1) -> float | None:
     """FLOPs per image/sample from XLA's cost analysis of the COMPILED
-    program (counts what actually runs: fwd+bwd+optimizer for train steps,
-    the whole scanned chain for samplers; one MAC = 2 flops). Returns None
-    when the backend doesn't expose cost analysis."""
+    program (one MAC = 2 flops). Returns None when the backend doesn't
+    expose cost analysis.
+
+    ``chain``: XLA's cost analysis counts a ``lax.scan`` body ONCE, not
+    times its trip count — samplers must pass their chain length (1000 for
+    DDPM, subsequence size for DDIM) or their MFU comes out ~1/chain of
+    reality (the round-4 bench_all run shipped 0.1% sampler MFUs this way).
+    The non-scan prologue (noise init) gets multiplied too; it is <0.1% of
+    a model forward, far below run-to-run noise."""
     try:
         analysis = jitted.lower(*args).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         flops = analysis.get("flops", 0.0)
-        return float(flops) / n_items if flops else None
+        return float(flops) * chain / n_items if flops else None
     except Exception:
         return None
 
@@ -298,7 +304,7 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
         model.apply, diffusion, (batch, 32, 32, 3), use_ema=False, mesh=mesh
     )
     key = jax.random.key(0)
-    flops = _flops_per_item(sample, batch, state, key)
+    flops = _flops_per_item(sample, batch, state, key, chain=steps_chain)
     out = sample(state, key)
     _sync(out)
     t0 = time.perf_counter()
@@ -359,7 +365,8 @@ def bench_generate_loop(reps: int):
         Image.fromarray(img_u8).save(os.path.join(save_dir, f"{uuid.uuid4()}.png"))
 
     key = jax.random.key(0)
-    flops = _flops_per_item(sample, batch, state, key)  # device-side chain only
+    # device-side chain only (DDIM-50); host encode adds no model FLOPs
+    flops = _flops_per_item(sample, batch, state, key, chain=50)
     _sync(sample(state, key))  # compile
 
     with ThreadPoolExecutor(max_workers=8) as pool:
@@ -439,7 +446,10 @@ WORKLOADS = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=",".join(WORKLOADS))
-    ap.add_argument("--steps", type=int, default=30, help="train steps per measurement")
+    # 120+ steps per chained window: the single final value-fetch sync
+    # (~45 ms tunnel round trip) amortizes to <0.4 ms/step; 30-step windows
+    # overstated step time by ~1.5 ms (logs/reconcile_r04.json)
+    ap.add_argument("--steps", type=int, default=120, help="train steps per measurement")
     ap.add_argument("--fuse-conv-gn", action="store_true",
                     help="A/B knob: conv1+GN-stats epilogue fusion in the train workloads")
     args = ap.parse_args()

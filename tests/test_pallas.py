@@ -438,7 +438,7 @@ from ddpm_tpu.ops.pallas.level_fuse import (  # noqa: E402
 )
 
 
-def _level_case(dtype=jnp.float32, B=4, H=8, C=256, seed=0):
+def _level_case(dtype=jnp.float32, B=4, H=16, C=256, seed=0):
     """Real flax modules (models/unet.py) provide both params and oracle."""
     from ddpm_tpu.models.unet import AttentionBlock, ResidualBlock
 
@@ -484,7 +484,9 @@ def test_level_fuse_bf16():
 
 def test_level_fuse_supports_envelope():
     assert level_fuse_mod.supports((128, 16, 16, 256), block_b=4, itemsize=2)
-    assert level_fuse_mod.supports((128, 8, 8, 256), block_b=4, itemsize=2)
+    # 8x8 measured ~5% slower than XLA op-level and dilutes the end-to-end
+    # sampler win (1.18x -> 1.15x) — excluded from the envelope
+    assert not level_fuse_mod.supports((128, 8, 8, 256), block_b=4, itemsize=2)
     # N > 256 tokens (32x32) out of envelope; C off the lane grid; cpg < 8
     assert not level_fuse_mod.supports((128, 32, 32, 256))
     assert not level_fuse_mod.supports((128, 16, 16, 192))
