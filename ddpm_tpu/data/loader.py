@@ -54,10 +54,25 @@ class ShardedLoader:
         indices: Optional[np.ndarray] = None,
         raw: bool = False,
         device_normalize: bool = False,
+        yield_indices: bool = False,
     ):
         """``device_normalize``: yield uint8 batches (flips still applied
         host-side) and let the jitted train step do the [-1,1] normalize —
-        4x less host->device transfer, which matters on tunneled TPUs."""
+        4x less host->device transfer, which matters on tunneled TPUs.
+
+        ``yield_indices``: device-resident dataset mode — yield
+        ``(batch_idx int32, flips uint8|None)`` instead of pixel batches;
+        the Trainer stages the whole in-memory uint8 dataset to HBM once and
+        gathers/flips each batch ON DEVICE, so per-step host->device traffic
+        drops from the batch (~1.5 MB at 64^2) to ~1 KB of indices. This is
+        both the fast path (no host gather at all) and the leak-proof path:
+        the axon tunnel client leaks its host transfer buffer on every
+        ``device_put`` (measured ~bytes-transferred per call,
+        docs/performance.md round 4 — a 130 GB OOM after 70k disk batches),
+        so shipping KBs instead of MBs is a 1000x smaller exposure. The flip
+        RNG stream is identical to the host paths (``rng.random(n) < 0.5``),
+        pinned by test. Requires an in-memory uint8 dataset (``.images``)
+        and single-process execution."""
         if batch_size % num_shards != 0:
             raise ValueError(f"batch {batch_size} not divisible by {num_shards} shards")
         self.dataset = dataset
@@ -73,6 +88,16 @@ class ShardedLoader:
         )
         self.raw = raw
         self.device_normalize = device_normalize
+        self.yield_indices = yield_indices
+        if yield_indices and not (
+            hasattr(dataset, "images") and getattr(dataset.images, "dtype", None) == np.uint8
+        ):
+            raise ValueError(
+                "yield_indices (device-cache) needs an in-memory uint8 "
+                f"dataset with an .images array; {type(dataset).__name__} "
+                "has none (disk datasets decode per batch — use the host "
+                "pipeline)"
+            )
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -121,6 +146,14 @@ class ShardedLoader:
         )
         for start in range(0, end, self.local_batch):
             batch_idx = idx[start : start + self.local_batch]
+            if self.yield_indices:
+                flips = (
+                    (rng.random(len(batch_idx)) < 0.5).astype(np.uint8)
+                    if do_flip
+                    else None
+                )
+                yield batch_idx.astype(np.int32), flips
+                continue
             if use_native or use_native_u8:
                 flips = (
                     (rng.random(len(batch_idx)) < 0.5).astype(np.uint8)
@@ -154,6 +187,7 @@ def get_dataloader(
     shard_index: int = 0,
     raw: bool = False,
     device_normalize: bool = False,
+    yield_indices: bool = False,
     **kwargs,
 ):
     """Factory mirroring the reference's get_dataloader contract
@@ -180,5 +214,6 @@ def get_dataloader(
         indices=indices,
         raw=raw,
         device_normalize=device_normalize,
+        yield_indices=yield_indices,
     )
     return loader, loader

@@ -57,6 +57,8 @@ def make_train_step(
     batch_sharding=None,
     state_sharding=None,
     rbg_dropout: bool = True,
+    from_indices: bool = False,
+    image_shape: tuple = (),
 ):
     """Build the fused train step.
 
@@ -66,6 +68,17 @@ def make_train_step(
     state replicated) so it runs identically on 1 chip or a pod slice.
     ``rbg_dropout`` feeds dropout from the hardware-backed rbg generator
     instead of threefry (see :func:`_rbg_key`).
+
+    ``from_indices``: device-cache input mode — the step signature becomes
+    ``(state, images, idx, flips, key)`` where ``images`` is the whole
+    HBM-resident uint8 dataset stored FLAT ``[N, H*W*C]`` (a row gather on
+    the NHWC layout costs ~4 ms vs 0.43 ms flat — the minor-dim-3 layout
+    defeats the gather emitter; measured round 4) and ``image_shape``
+    gives (H, W, C) back. The batch is gathered, flipped, and normalized
+    INSIDE the step: per-step host->device traffic is ~1 KB of indices
+    instead of the pixel batch, and the gather fuses into the step's
+    program so there is no extra dispatch either
+    (ShardedLoader.yield_indices / Trainer device-cache mode).
     """
 
     def loss_fn(params, x_0, t, noise, dropout_key):
@@ -95,17 +108,42 @@ def make_train_step(
             state = state.apply_gradients(grads)
         return state, loss
 
+    def step_from_indices(state: TrainState, images, idx, flips, key: jax.Array):
+        b = jnp.take(images, idx, axis=0)
+        b = b.reshape((idx.shape[0],) + tuple(image_shape))
+        b = jnp.where(flips[:, None, None, None] != 0, b[:, :, ::-1, :], b)
+        if _BATCH_SHARDING is not None:
+            # images/idx are replicated; pin the gathered batch to the data
+            # axis so the loss/grad compute parallelizes exactly like the
+            # host-fed path
+            b = jax.lax.with_sharding_constraint(b, _BATCH_SHARDING)
+        return step(state, b, key)
+
+    _BATCH_SHARDING = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         batch_sharding = batch_sharding or NamedSharding(mesh, P("data"))
         state_sharding = state_sharding or NamedSharding(mesh, P())
+        _BATCH_SHARDING = batch_sharding
+        if from_indices:
+            replicated = NamedSharding(mesh, P())
+            return jax.jit(
+                step_from_indices,
+                in_shardings=(
+                    state_sharding, replicated, replicated, replicated, state_sharding
+                ),
+                out_shardings=(state_sharding, state_sharding),
+                donate_argnums=(0,),
+            )
         return jax.jit(
             step,
             in_shardings=(state_sharding, batch_sharding, state_sharding),
             out_shardings=(state_sharding, state_sharding),
             donate_argnums=(0,),
         )
+    if from_indices:
+        return jax.jit(step_from_indices, donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
 
 

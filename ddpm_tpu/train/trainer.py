@@ -89,9 +89,36 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh)
         self._state_sharding = replicated_sharding(self.mesh)
         self.state = jax.device_put(self.state, self._state_sharding)
-        self.train_step = make_train_step(
-            model.apply, diffusion, has_dropout=has_dropout, mesh=self.mesh
-        )
+        self._device_cache = bool(getattr(trainloader, "yield_indices", False))
+        if self._device_cache:
+            # HBM-resident dataset: the step gathers/flips/normalizes from
+            # the staged images INSIDE its own program — per-step
+            # host->device traffic is ~1 KB of indices (see step.py
+            # from_indices and the ShardedLoader docstring)
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "device-cache loading is single-process (per-host "
+                    "global-batch assembly would need global indices); use "
+                    "the host pipeline under --distributed"
+                )
+            images = trainloader.dataset.images
+            # flat [N, H*W*C] rows: gathering the NHWC layout costs ~4 ms vs
+            # 0.43 ms flat (minor-dim-3 defeats the gather emitter)
+            self._dev_images = jax.device_put(
+                np.ascontiguousarray(images).reshape(len(images), -1),
+                self._state_sharding,
+            )
+            idx_step = make_train_step(
+                model.apply, diffusion, has_dropout=has_dropout,
+                mesh=self.mesh, from_indices=True, image_shape=images.shape[1:],
+            )
+            self.train_step = lambda state, b, key: idx_step(
+                state, self._dev_images, b[0], b[1], key
+            )
+        else:
+            self.train_step = make_train_step(
+                model.apply, diffusion, has_dropout=has_dropout, mesh=self.mesh
+            )
         self.use_ema_for_sampling = use_ema_for_sampling
         self._eval_samplers = {}
         self.sample_fn = None
@@ -150,7 +177,9 @@ class Trainer:
             for i, batch in enumerate(self._prefetched()):
                 self.key, sub = jax.random.split(self.key)
                 self.state, loss = self.train_step(self.state, batch, sub)
-                pending.append((len(batch), loss))
+                # device-cache batches are (idx, flips) descriptors
+                n = len(batch[0]) if isinstance(batch, tuple) else len(batch)
+                pending.append((n, loss))
                 if self.dry_run and int(self.state.step) >= 1:
                     self.logger("dry run: stopping after first optimizer update")
                     return
@@ -216,8 +245,33 @@ class Trainer:
         (the reference gets this from DataLoader worker processes +
         pinned-memory copies; here one slot is enough because dispatch is
         already asynchronous).
+
+        Device-cache mode (``trainloader.yield_indices``): the whole
+        in-memory uint8 dataset is staged to HBM ONCE and every batch is an
+        on-device gather+flip — the per-step host->device transfer is ~1 KB
+        of indices instead of the pixel batch. See ShardedLoader's docstring
+        for why (speed AND the axon per-transfer host-buffer leak).
         """
         it = iter(self.trainloader)
+        if self._device_cache:
+            # stage the ~1 KB index/flip arrays one slot ahead (async
+            # device_put): letting the step transfer them at dispatch time
+            # costs ~3 ms/step of un-hidden tunnel latency (measured,
+            # logs/reconcile_r04.json devcache arms)
+            pending = None
+            for idx, flips in it:
+                if flips is None:
+                    flips = np.zeros(len(idx), np.uint8)
+                staged = (
+                    jax.device_put(idx, self._state_sharding),
+                    jax.device_put(flips, self._state_sharding),
+                )
+                if pending is not None:
+                    yield pending
+                pending = staged
+            if pending is not None:
+                yield pending
+            return
         pending = None
         for batch in it:
             # single-host: async device_put; multi-process SPMD: assemble the

@@ -97,14 +97,23 @@ def chained_step_rate(use_ema: bool, steps: int) -> float:
     return BATCH * steps / dt / jax.device_count()
 
 
+def _rss_mb() -> int:
+    with open(f"/proc/{os.getpid()}/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) // 1024
+    return -1
+
+
 def trainer_rate(use_ema: bool, naive_drain: bool = False, batches: int = 390,
-                 epochs: int = 3) -> float:
+                 epochs: int = 3, device_cache: bool = False) -> float:
     from ddpm_tpu.data import get_dataloader
     from ddpm_tpu.train import Trainer
 
     model, diffusion, state, mesh, _ = _build(use_ema)
     loader, _ = get_dataloader(
-        "fakedata", BATCH, "train", size=BATCH * batches, device_normalize=True
+        "fakedata", BATCH, "train", size=BATCH * batches, device_normalize=True,
+        yield_indices=device_cache,
     )
     rates = []
 
@@ -124,7 +133,10 @@ def trainer_rate(use_ema: bool, naive_drain: bool = False, batches: int = 390,
                 trainer.stats.update(n, loss=float(loss))
 
         trainer._drain_losses = naive
+    rss0 = _rss_mb()
     trainer.train()
+    print(json.dumps({"rss_before_mb": rss0, "rss_after_mb": _rss_mb(),
+                      "device_cache": device_cache}), flush=True)
     return max(rates[1:]) if len(rates) > 1 else rates[-1]
 
 
@@ -136,6 +148,9 @@ ARMS = {
     "trainer_ema": lambda: trainer_rate(True),
     "trainer_noema": lambda: trainer_rate(False),
     "trainer_ema_naivedrain": lambda: trainer_rate(True, naive_drain=True),
+    # round-4: HBM-resident dataset, on-device gather — ~1 KB/step of
+    # host->device traffic instead of the pixel batch (loader.py docstring)
+    "trainer_devcache": lambda: trainer_rate(True, device_cache=True),
 }
 
 

@@ -279,3 +279,33 @@ def test_blobs_dataset_structure_and_determinism():
     # structure: mean neighbor difference far below uniform noise (~85)
     smooth = np.abs(np.diff(a.images.astype(np.int16), axis=1)).mean()
     assert smooth < 20.0, smooth
+
+
+def test_yield_indices_mode_streams_and_rng_parity():
+    # device-cache mode: the loader yields (idx, flips); the flip stream is
+    # bit-identical to the host pipeline's (rng.random(n) < 0.5 per batch),
+    # so a device gather reproduces the host batches exactly
+    ds = FakeData(split="train", size=64, resolution=8)
+    ds.random_flip = True
+    host = ShardedLoader(ds, 16, seed=3, device_normalize=True)
+    idxl = ShardedLoader(ds, 16, seed=3, device_normalize=True, yield_indices=True)
+    host.set_epoch(2)
+    idxl.set_epoch(2)
+    for hb, (idx, flips) in zip(host, idxl):
+        assert idx.dtype == np.int32 and flips.dtype == np.uint8
+        want = ds.images[idx]
+        flip = flips.astype(bool)
+        want = want.copy()
+        want[flip] = want[flip, :, ::-1]
+        np.testing.assert_array_equal(hb, want)
+
+
+def test_yield_indices_rejects_disk_datasets():
+    class NoImages:
+        random_flip = False
+
+        def __len__(self):
+            return 8
+
+    with pytest.raises(ValueError, match="device-cache"):
+        ShardedLoader(NoImages(), 4, yield_indices=True)

@@ -72,6 +72,15 @@ def main():
     parser.add_argument("--train-split", default=None, type=str)
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument(
+        "--device-cache", action="store_true",
+        help="stage the whole in-memory uint8 dataset to HBM once and "
+        "gather/flip batches ON DEVICE; per-step host->device traffic "
+        "drops from the pixel batch to ~1 KB of indices (fastest input "
+        "path, and sidesteps the axon per-transfer host-buffer leak — "
+        "docs/performance.md round 4). In-memory datasets, single "
+        "process only",
+    )
+    parser.add_argument(
         "--distributed", action="store_true",
         help="multi-host SPMD: run jax.distributed.initialize() before "
         "anything touches the backend (launch this script once per host; "
@@ -189,6 +198,7 @@ def train(args):
         # ship uint8 and normalize inside the jitted step: 4x less
         # host->device transfer per batch
         device_normalize=True,
+        yield_indices=getattr(args, "device_cache", False),
     )
 
     x = jnp.zeros((1, res, res, channels), jnp.float32)
