@@ -78,11 +78,17 @@ def ddim_from_ddpm(
 ) -> GaussianDiffusion:
     """Restrict a trained DDPM to a DDIM sampler (reference ddim.py:115-120).
 
-    ``betas`` may be supplied in f64 for exact table precision; otherwise the
-    (f32) betas stored on the diffusion object are used.
+    ``betas`` may be supplied explicitly; otherwise the full-precision f64
+    schedule recorded at ``GaussianDiffusion.create`` time (``betas_f64``) is
+    used, so this reference-signature path loses no precision. Only a
+    hand-constructed diffusion lacking ``betas_f64`` falls back to
+    round-tripping the f32 device table.
     """
     if betas is None:
-        betas = np.asarray(diffusion.betas, dtype=np.float64)
+        if diffusion.betas_f64 is not None:
+            betas = np.asarray(diffusion.betas_f64, dtype=np.float64)
+        else:
+            betas = np.asarray(diffusion.betas, dtype=np.float64)
     return ddim_from_betas(
         betas,
         diffusion.model_mean_type,

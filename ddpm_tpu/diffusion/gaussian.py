@@ -84,6 +84,12 @@ class GaussianDiffusion:
     timesteps: int = struct.field(pytree_node=False, default=1000)
     # eta kept for introspection/repr parity with the reference DDIM
     eta: float = struct.field(pytree_node=False, default=1.0)
+    # Full-precision beta schedule, kept as a hashable tuple of Python floats
+    # (static metadata must hash for jit treedef caching). `ddim_from_ddpm`
+    # reads this so the reference-signature `from_ddpm(diffusion, ...)` path
+    # (reference ddim.py:115-120) re-derives its subsequence tables from the
+    # exact f64 schedule rather than the f32 device table.
+    betas_f64: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------ #
     # construction
@@ -119,6 +125,7 @@ class GaussianDiffusion:
             loss_type=loss_type,
             timesteps=coefs.timesteps,
             eta=1.0,
+            betas_f64=tuple(float(b) for b in np.asarray(betas, np.float64)),
         )
 
     # ------------------------------------------------------------------ #

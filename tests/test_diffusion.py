@@ -213,3 +213,40 @@ def test_ddim_eta1_identity_subsequence_equals_ddpm_sampling(betas):
     a = ddpm.p_sample(fn, SHAPE, key)
     b = ddim.p_sample(fn, SHAPE, key)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ddim_from_ddpm_full_precision_tables(betas):
+    """from_ddpm with NO explicit betas must rebuild tables from the exact
+    f64 schedule recorded at create() time — bitwise equal to ddim_from_betas
+    on the original f64 betas (the reference from_ddpm signature,
+    ddim.py:115-120, passes no schedule)."""
+    ddpm = GaussianDiffusion.create(betas, "eps", "fixed-small", "mse")
+    assert ddpm.betas_f64 is not None
+    np.testing.assert_array_equal(
+        np.asarray(ddpm.betas_f64, np.float64), np.asarray(betas, np.float64)
+    )
+    sub = get_selection_schedule("quadratic", 10, T)
+    via_ddpm = ddim_from_ddpm(ddpm, eta=0.5, subsequence=sub)
+    via_betas = ddim_from_betas(betas, "eps", "fixed-small", "mse", eta=0.5, subsequence=sub)
+    from ddpm_tpu.diffusion.gaussian import _TABLE_FIELDS
+
+    for f in _TABLE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(via_ddpm, f)),
+            np.asarray(getattr(via_betas, f)),
+            err_msg=f,
+        )
+
+
+def test_diffusion_with_betas_f64_jits(betas):
+    """The static betas_f64 tuple must not break jit treedef hashing."""
+    d = GaussianDiffusion.create(betas, "eps", "fixed-small", "mse")
+
+    @jax.jit
+    def f(diff, x, t):
+        return diff.q_sample(x, t, jnp.zeros_like(x))
+
+    x = jnp.ones(SHAPE)
+    t = jnp.zeros((SHAPE[0],), jnp.int32)
+    out = f(d, x, t)
+    assert out.shape == SHAPE
