@@ -154,8 +154,11 @@ def main():
     T = len(term_means)
     for lo in range(0, T, max(T // 10, 1)):
         hi = min(lo + max(T // 10, 1), T)
-        print(f"  t[{lo:4d}:{hi:4d}]  bpd {term_means[lo:hi].mean():.5f}   "
-              f"mse {mse_means[lo:hi].mean():.6f}")
+        # scientific notation: the VLB mass concentrates at small t, and
+        # the mid/upper buckets are O(1e-6) bits — fixed-point %.5f printed
+        # them as 0.00000, making the table blind to mid-t regressions
+        print(f"  t[{lo:4d}:{hi:4d}]  bpd {term_means[lo:hi].mean():.3e}   "
+              f"mse {mse_means[lo:hi].mean():.3e}")
 
     results = {
         "bpd": round(total, 4),
