@@ -39,6 +39,7 @@ __all__ = [
     "FakeData",
     "Blobs",
     "Blobs64",
+    "Blobs256",
     "ROOT",
 ]
 
@@ -350,6 +351,50 @@ class Blobs64(FileDataset):
             if n.endswith((".jpg", ".png"))
         ]
         super().__init__(files, _decode_celeba)
+
+
+@register_dataset
+class Blobs256(FileDataset):
+    """On-disk Blobs at CelebA-HQ geometry — the HQ-shape convergence
+    workload.
+
+    ``scripts/make_blobs_disk.py --variant blobs256`` renders the Blobs
+    distribution at the CelebA-HQ frame size (256x256 PNGs, the real
+    ``img_celeba_hq`` distribution format) into ``<root>/blobs256/``; this
+    class consumes the folder EXACTLY like the production CelebA-HQ dataset
+    (reference datasets.py:156-198): lazily decoded 256^2 PNGs on the
+    persistent thread pool with no crop/resize, per-epoch seeded file
+    reshuffle, random flips. It exists so the reference's largest flagship
+    *shape* (configs/celebahq.json: 6 levels (1,1,2,2,4,4), attn at level 4,
+    batch 64 via num_accum) can be trained to convergence end-to-end on a
+    learnable distribution without the (non-downloadable) HQ data.
+
+    FID target statistics come from the held-out test folder (fid_split),
+    disjoint from the training images by construction (seed streams 7/8).
+    """
+
+    resolution = (256, 256)
+    channels = 3
+    train_size = 10000
+    test_size = 2500
+    random_flip = True
+    fid_split = "test"
+
+    def __init__(self, root: str = ROOT, split: str = "train", **_):
+        base = os.path.join(root, "blobs256")
+        sub = "train" if split in ("train", "all") else "test"
+        img_dir = os.path.join(base, sub)
+        if not os.path.isdir(img_dir):
+            raise FileNotFoundError(
+                f"{img_dir} not found; render it once with "
+                f"scripts/make_blobs_disk.py --variant blobs256 --root {root}"
+            )
+        files = [
+            os.path.join(img_dir, n)
+            for n in sorted(os.listdir(img_dir))
+            if n.endswith((".jpg", ".png"))
+        ]
+        super().__init__(files, _decode_image)
 
 
 @register_dataset

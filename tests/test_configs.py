@@ -12,9 +12,9 @@ from ddpm_tpu.utils.config import bundled_configs
 
 
 def test_bundled_config_names():
-    # the three reference configs plus blobs64 (the offline disk-pipeline
-    # convergence workload; no reference counterpart)
-    assert bundled_configs() == ["blobs64", "celeba", "celebahq", "cifar10"]
+    # the three reference configs plus blobs64/blobs256 (the offline
+    # disk-pipeline convergence workloads; no reference counterpart)
+    assert bundled_configs() == ["blobs256", "blobs64", "celeba", "celebahq", "cifar10"]
 
 
 def test_blobs64_config_matches_celeba_architecture():
@@ -28,6 +28,21 @@ def test_blobs64_config_matches_celeba_architecture():
     assert cfg.dataset == "blobs64"
     assert cfg.model == ref.model
     assert cfg.diffusion == ref.diffusion
+    assert cfg.train.lr == 2e-4
+    assert cfg.train.use_ema is True
+
+
+def test_blobs256_config_matches_celebahq_architecture():
+    """blobs256 drives the reference's largest flagship SHAPE
+    (configs/celebahq.json: 256^2, 6 levels (1,1,2,2,4,4), attn level 4,
+    batch 64) through the HQ disk pipeline on a learnable distribution,
+    with the blobs training budget (lr 2e-4, epochs sized to this host)."""
+    cfg = load_config("blobs256")
+    ref = load_config("celebahq")
+    assert cfg.dataset == "blobs256"
+    assert cfg.model == ref.model
+    assert cfg.diffusion == ref.diffusion
+    assert cfg.train.batch_size == 64  # the HQ global batch
     assert cfg.train.lr == 2e-4
     assert cfg.train.use_ema is True
 

@@ -309,3 +309,32 @@ def test_yield_indices_rejects_disk_datasets():
 
     with pytest.raises(ValueError, match="device-cache"):
         ShardedLoader(NoImages(), 4, yield_indices=True)
+
+
+def test_blobs256_dataset_hq_format(tmp_path):
+    """Blobs256 consumes a 256^2 PNG folder exactly like CelebA-HQ
+    (reference datasets.py:156-198: direct decode, no crop/resize) and
+    exposes the HQ geometry through the registry."""
+    from ddpm_tpu.data.datasets import Blobs256, _make_blobs
+
+    base = tmp_path / "blobs256" / "train"
+    base.mkdir(parents=True)
+    from PIL import Image
+
+    imgs = _make_blobs(4, 256, seed=3)
+    for j in range(4):
+        Image.fromarray(imgs[j]).save(base / f"{j:06d}.png")
+
+    ds = Blobs256(root=str(tmp_path), split="train")
+    assert len(ds) == 4
+    batch = ds.get_batch(np.arange(4))
+    assert batch.shape == (4, 256, 256, 3) and batch.dtype == np.uint8
+    # PNG is lossless: decode must round-trip the rendered pixels exactly
+    np.testing.assert_array_equal(batch, imgs)
+
+    info = DATASET_INFO["blobs256"]
+    assert info["resolution"] == (256, 256)
+    assert info["fid_split"] == "test"
+
+    with pytest.raises(FileNotFoundError):
+        Blobs256(root=str(tmp_path), split="test")
