@@ -71,8 +71,10 @@ class ShardedLoader:
         docs/performance.md round 4 — a 130 GB OOM after 70k disk batches),
         so shipping KBs instead of MBs is a 1000x smaller exposure. The flip
         RNG stream is identical to the host paths (``rng.random(n) < 0.5``),
-        pinned by test. Requires an in-memory uint8 dataset (``.images``)
-        and single-process execution."""
+        pinned by test. Requires an in-memory uint8 dataset (``.images``).
+        Works multi-process too: each process yields its strided index
+        shard and the Trainer assembles the global (B,) arrays the same way
+        it assembles pixel batches."""
         if batch_size % num_shards != 0:
             raise ValueError(f"batch {batch_size} not divisible by {num_shards} shards")
         self.dataset = dataset

@@ -124,29 +124,46 @@ class Evaluator:
         inception_weights: str = INCEPTION_WEIGHTS,
         variables=None,
         extractor: Optional[Callable] = None,
+        target_stats=None,
     ):
         """``variables`` injects already-loaded (or test) Inception weights;
         otherwise they are loaded from ``inception_weights`` (the npz written
         by scripts/convert_inception.py). ``extractor`` overrides the feature
         function entirely (``f(batch_01_nhwc) -> (B, D)``) — used by tests
-        and by callers that bring their own embedding network."""
+        and by callers that bring their own embedding network.
+        ``target_stats=(mean, cov)`` injects the target statistics directly,
+        skipping the precomputed-file lookup / raw-dataset fallback."""
         import jax
 
         self.dataset = dataset
         self.total_size = total_size
         self.batch_size = batch_size
+        self.last_extracted = 0  # rows this host extracted in the last eval()
         if extractor is not None:
             self.extract = extractor
         else:
             if variables is None:
                 variables = load_inception_variables(inception_weights)
             self.extract = make_feature_extractor(variables)
+        if target_stats is not None:
+            self.target_mean, self.target_var = target_stats
+            self.key = jax.random.key(571)
+            return
         # same weights-aware cache key as eval.py: stats computed under an
         # INCEPTION_NPZ override never collide with stock-weight stats
         ds_key = dataset + weights_cache_tag(inception_weights, "INCEPTION_NPZ")
         try:
             self.target_mean, self.target_var = get_precomputed(ds_key, precomputed_dir)
         except FileNotFoundError:
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                # leader-gated eval (see eval()): non-leaders never consume
+                # target stats, and skipping the fallback avoids both the
+                # duplicated dataset extraction and a shared-FS write race
+                # on the stats npz (reference leader-gates accumulation the
+                # same way, ddpm_torch/metrics/__init__.py:34-47)
+                self.target_mean = self.target_var = None
+                self.key = jax.random.key(571)
+                return
             # fall back to computing target stats from the raw dataset
             # (reference eval.py:87-94); the split is dataset-defined
             # (data/registry.py fid_stats_split)
@@ -164,11 +181,22 @@ class Evaluator:
         self.key = jax.random.key(571)
 
     def eval(self, sample_fn: Callable) -> dict:
+        """Generate + extract + FID.
+
+        Under multi-process SPMD every host must drive ``sample_fn`` (the
+        sampler is a collective program over the global mesh), but feature
+        extraction and statistics run on the LEADER only — the reference
+        leader-gates exactly the same way (metrics/__init__.py:34-47).
+        Without the gate each host would re-extract the full ``total_size``
+        images; eval cost now stays independent of host count. Non-leaders
+        return ``{"fid": None}``.
+        """
         import jax
 
+        is_leader = jax.process_index() == 0
         stats = StreamingStats(dim=None)
+        self.last_extracted = 0
         remaining = self.total_size
-        i = 0
         while remaining > 0:
             n = min(self.batch_size, remaining)
             self.key, sub = jax.random.split(self.key)
@@ -177,11 +205,14 @@ class Evaluator:
             # (the reference instead shapes the last batch dynamically,
             # metrics/__init__.py:42-45, which would recompile under XLA)
             x = np.asarray(sample_fn(self.batch_size, sub))  # float [-1,1] NHWC
-            x01 = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
-            if x01.shape[-1] == 1:
-                x01 = np.repeat(x01, 3, axis=-1)
-            stats.update(np.asarray(self.extract(x01))[:n])
+            if is_leader:
+                x01 = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
+                if x01.shape[-1] == 1:
+                    x01 = np.repeat(x01, 3, axis=-1)
+                stats.update(np.asarray(self.extract(x01))[:n])
+                self.last_extracted += n
             remaining -= n
-            i += 1
+        if not is_leader:
+            return {"fid": None}
         gen_mean, gen_var = stats.get_statistics()
         return {"fid": calc_fd(gen_mean, gen_var, self.target_mean, self.target_var)}

@@ -3,6 +3,7 @@ from .mesh import (
     batch_sharding,
     init_distributed,
     stage_global_batch,
+    stage_replicated,
     data_parallel_extractor,
     addressable_rows,
     to_numpy_global,
@@ -23,5 +24,6 @@ __all__ = [
     "local_batch_slice",
     "init_distributed",
     "stage_global_batch",
+    "stage_replicated",
     "data_parallel_extractor",
 ]

@@ -27,6 +27,7 @@ __all__ = [
     "to_numpy_global",
     "init_distributed",
     "stage_global_batch",
+    "stage_replicated",
     "data_parallel_extractor",
 ]
 
@@ -100,6 +101,21 @@ def stage_global_batch(
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
     return jax.device_put(batch, sharding)
+
+
+def stage_replicated(x, mesh: Mesh):
+    """Stage identical host data as a fully-replicated global array.
+
+    Single-process: plain ``device_put``. Multi-process SPMD: every process
+    holds the same full value (e.g. the device-cache dataset — in-memory
+    datasets are constructed whole on every host, only *indices* are
+    sharded), so the global replicated array assembles from each process's
+    local copy without communication.
+    """
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_AXIS) -> Mesh:

@@ -113,9 +113,10 @@ def make_train_step(
         b = b.reshape((idx.shape[0],) + tuple(image_shape))
         b = jnp.where(flips[:, None, None, None] != 0, b[:, :, ::-1, :], b)
         if _BATCH_SHARDING is not None:
-            # images/idx are replicated; pin the gathered batch to the data
-            # axis so the loss/grad compute parallelizes exactly like the
-            # host-fed path
+            # images are replicated and idx/flips ride the batch axis, so
+            # each device gathers only its own rows; the constraint keeps
+            # the loss/grad compute parallelized exactly like the host-fed
+            # path even if XLA re-derives layouts
             b = jax.lax.with_sharding_constraint(b, _BATCH_SHARDING)
         return step(state, b, key)
 
@@ -128,10 +129,16 @@ def make_train_step(
         _BATCH_SHARDING = batch_sharding
         if from_indices:
             replicated = NamedSharding(mesh, P())
+            # idx/flips are (B,) batch-sharded: single-process they arrive
+            # via device_put, multi-process each host contributes its
+            # DistributedSampler-strided shard through
+            # make_array_from_process_local_data (same assembly as pixel
+            # batches, ~KBs instead of the batch)
             return jax.jit(
                 step_from_indices,
                 in_shardings=(
-                    state_sharding, replicated, replicated, replicated, state_sharding
+                    state_sharding, replicated, batch_sharding, batch_sharding,
+                    state_sharding,
                 ),
                 out_shardings=(state_sharding, state_sharding),
                 donate_argnums=(0,),

@@ -34,6 +34,7 @@ from ..parallel.mesh import (
     make_mesh,
     replicated_sharding,
     stage_global_batch,
+    stage_replicated,
     to_numpy_global,
 )
 from ..utils import RunningStatistics
@@ -94,19 +95,17 @@ class Trainer:
             # HBM-resident dataset: the step gathers/flips/normalizes from
             # the staged images INSIDE its own program — per-step
             # host->device traffic is ~1 KB of indices (see step.py
-            # from_indices and the ShardedLoader docstring)
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "device-cache loading is single-process (per-host "
-                    "global-batch assembly would need global indices); use "
-                    "the host pipeline under --distributed"
-                )
+            # from_indices and the ShardedLoader docstring). Multi-process
+            # SPMD works too: in-memory datasets are constructed whole on
+            # every host, so the image cache replicates from each process's
+            # local copy, and the per-process index shards assemble into the
+            # global (B,) arrays exactly like pixel batches do (reference
+            # DistributedSampler contract, datasets.py:244-266).
             images = trainloader.dataset.images
             # flat [N, H*W*C] rows: gathering the NHWC layout costs ~4 ms vs
             # 0.43 ms flat (minor-dim-3 defeats the gather emitter)
-            self._dev_images = jax.device_put(
-                np.ascontiguousarray(images).reshape(len(images), -1),
-                self._state_sharding,
+            self._dev_images = stage_replicated(
+                np.ascontiguousarray(images).reshape(len(images), -1), self.mesh
             )
             idx_step = make_train_step(
                 model.apply, diffusion, has_dropout=has_dropout,
@@ -257,14 +256,16 @@ class Trainer:
             # stage the ~1 KB index/flip arrays one slot ahead (async
             # device_put): letting the step transfer them at dispatch time
             # costs ~3 ms/step of un-hidden tunnel latency (measured,
-            # logs/reconcile_r04.json devcache arms)
+            # logs/reconcile_r04.json devcache arms). The (B,) arrays are
+            # batch-sharded — under multi-process SPMD each host contributes
+            # its strided index shard, same assembly as pixel batches.
             pending = None
             for idx, flips in it:
                 if flips is None:
                     flips = np.zeros(len(idx), np.uint8)
                 staged = (
-                    jax.device_put(idx, self._state_sharding),
-                    jax.device_put(flips, self._state_sharding),
+                    stage_global_batch(idx, self.mesh, sharding=self._batch_sharding),
+                    stage_global_batch(flips, self.mesh, sharding=self._batch_sharding),
                 )
                 if pending is not None:
                     yield pending

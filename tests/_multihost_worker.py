@@ -55,6 +55,9 @@ def main():
     )
     x = jnp.zeros((4, 8, 8, 3), jnp.float32)
     params = model.init(jax.random.key(0), x, jnp.zeros((4,), jnp.int32))["params"]
+    # host snapshot: the trainers donate their state buffers, so each run
+    # needs its own fresh device copy of the initial params
+    params = jax.tree.map(np.asarray, params)
     state = TrainState.create(params, make_optimizer(lr=1e-3), use_ema=False)
 
     # global batch 16 -> 8 rows per process (strided shard, like
@@ -80,7 +83,72 @@ def main():
     # the updated tree and print it for the parent to compare
     leaves = jax.tree.leaves(jax.tree.map(np.asarray, trainer.state.params))
     fingerprint = float(sum(float(np.abs(l).sum()) for l in leaves))
-    print(f"MULTIHOST_OK pid={process_id} loss={loss:.6f} fp={fingerprint:.6f}")
+
+    # --- device-cache mode under multi-process SPMD -------------------- #
+    # same dataset/seeds through yield_indices: per-process index shards
+    # assemble into the global (B,) arrays, the HBM image cache replicates
+    # from each host's local copy, and the epoch must produce the exact
+    # same loss as the host pixel pipeline above (identical examples,
+    # flips, and t/noise streams).
+    dc_loader, _ = get_dataloader(
+        "fakedata", batch_size=16, split="train", resolution=8, size=64,
+        random_seed=7, num_shards=num_processes, shard_index=process_id,
+        yield_indices=True, device_normalize=True,
+    )
+    dc_state = TrainState.create(params, make_optimizer(lr=1e-3), use_ema=False)
+    dc_trainer = Trainer(
+        model=model, diffusion=diffusion, state=dc_state, trainloader=dc_loader,
+        epochs=1, sample_shape=None, chkpt_intv=10**9, seed=11,
+        logger=msgs.append,
+    )
+    dc_trainer.train()
+    assert dc_trainer.stats.count == 64, dc_trainer.stats.count
+    dc_loss = dc_trainer.stats.extract()["loss"]
+    # bitwise: the device-cache gather+flip+normalize must reproduce the
+    # host pipeline exactly (single-process pin: test_data.py rng parity)
+    assert dc_loss == loss, (dc_loss, loss)
+
+    # --- leader-gated in-loop Evaluator -------------------------------- #
+    # every host drives the collective sampler; only the leader extracts
+    # (reference ddpm_torch/metrics/__init__.py:34-47)
+    from ddpm_tpu.metrics import Evaluator
+    from ddpm_tpu.train.step import make_sample_fn
+
+    total, ebatch = 8, 4
+    extractor = lambda x: np.asarray(x, np.float64).reshape(len(x), -1)[:, :4]
+    rng = np.random.default_rng(5)
+    tgt_feats = rng.standard_normal((32, 4))
+    evaluator = Evaluator(
+        dataset="fakedata", total_size=total, batch_size=ebatch,
+        extractor=extractor,
+        target_stats=(tgt_feats.mean(0), np.cov(tgt_feats, rowvar=False)),
+    )
+    sampler = make_sample_fn(
+        model.apply, diffusion, (ebatch, 8, 8, 3), use_ema=False,
+        mesh=trainer.mesh,
+    )
+    from ddpm_tpu.parallel import to_numpy_global
+
+    sample_calls = []
+
+    def sample_fn(n, key):
+        assert n == ebatch
+        sample_calls.append(n)
+        return to_numpy_global(sampler(dc_trainer.state, key))
+
+    results = evaluator.eval(sample_fn)
+    assert len(sample_calls) == total // ebatch, sample_calls  # all hosts sample
+    if process_id == 0:
+        assert evaluator.last_extracted == total, evaluator.last_extracted
+        assert np.isfinite(results["fid"]), results
+    else:
+        assert evaluator.last_extracted == 0, evaluator.last_extracted
+        assert results["fid"] is None, results
+
+    print(
+        f"MULTIHOST_OK pid={process_id} loss={loss:.6f} fp={fingerprint:.6f} "
+        f"extracted={evaluator.last_extracted}"
+    )
 
 
 if __name__ == "__main__":

@@ -63,3 +63,7 @@ def test_two_process_training(tmp_path):
     fps = [field(l, "fp") for l in oks]
     assert np.allclose(losses, losses[0], rtol=0, atol=0), losses
     assert np.allclose(fps, fps[0], rtol=0, atol=0), fps
+    # leader-gated Evaluator: extraction work is done ONCE across the whole
+    # job (leader extracts total_size=8 rows, the other host none)
+    extracted = sorted(field(l, "extracted") for l in oks)
+    assert extracted == [0.0, 8.0], extracted
