@@ -96,6 +96,7 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    sampling = ddpm_sampling_rate(model, diffusion, state, mesh, n_chips)
     sustained = sustained_trainer_rate(model, diffusion, state, mesh, n_chips)
     print(
         json.dumps(
@@ -106,9 +107,39 @@ def main():
                 "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
                 "step_window": STEPS,
                 "sustained_trainer_imgs_per_sec": round(sustained, 2),
+                **sampling,
             }
         )
     )
+
+
+def ddpm_sampling_rate(model, diffusion, state, mesh, n_chips) -> dict:
+    """BASELINE.json's sampling north star: 1000-step ancestral DDPM
+    samples/sec (+MFU), same CIFAR-10 arch, batch 128 — the whole chain is
+    one lax.scan program on device. MFU accounting multiplies the scanned
+    body's cost-analysis FLOPs by the chain length and refuses to report an
+    implausible figure (ddpm_tpu.utils.profiling.mfu guard)."""
+    from ddpm_tpu.train import make_sample_fn
+    from ddpm_tpu.utils.profiling import flops_per_item, mfu
+
+    sample = make_sample_fn(
+        model.apply, diffusion, (BATCH, 32, 32, 3), use_ema=False, mesh=mesh
+    )
+    key = jax.random.key(7)
+    flops = flops_per_item(sample, BATCH, state, key, chain=diffusion.timesteps)
+    x = sample(state, key)  # compile + warm
+    float(x[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    reps = 2
+    for i in range(reps):
+        x = sample(state, jax.random.fold_in(key, i))
+    float(x[0, 0, 0, 0])
+    rate = BATCH * reps / (time.perf_counter() - t0) / n_chips
+    util = mfu(rate, flops)
+    return {
+        "ddpm_samples_per_sec_per_chip": round(rate, 2),
+        "ddpm_sample_mfu": round(util, 4) if util is not None else None,
+    }
 
 
 def sustained_trainer_rate(model, diffusion, state, mesh, n_chips) -> float:

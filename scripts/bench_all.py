@@ -40,39 +40,12 @@ def _sync(x):
     value_sync(x)
 
 
-# bf16 peak of one TPU v5e chip (matmul units). Override with
-# DDPM_TPU_PEAK_FLOPS when running on other hardware.
-PEAK_FLOPS = float(os.environ.get("DDPM_TPU_PEAK_FLOPS", 197e12))
+# FLOPs accounting + the MFU plausibility guard live with the profiling
+# subsystem so bench.py shares them (ddpm_tpu/utils/profiling.py).
+from ddpm_tpu.utils.profiling import PEAK_FLOPS, flops_per_item, mfu  # noqa: E402
 
-
-def _flops_per_item(jitted, n_items, *args, chain: int = 1) -> float | None:
-    """FLOPs per image/sample from XLA's cost analysis of the COMPILED
-    program (one MAC = 2 flops). Returns None when the backend doesn't
-    expose cost analysis.
-
-    ``chain``: XLA's cost analysis counts a ``lax.scan`` body ONCE, not
-    times its trip count — samplers must pass their chain length (1000 for
-    DDPM, subsequence size for DDIM) or their MFU comes out ~1/chain of
-    reality (the round-4 bench_all run shipped 0.1% sampler MFUs this way).
-    The non-scan prologue (noise init) gets multiplied too; it is <0.1% of
-    a model forward, far below run-to-run noise."""
-    try:
-        analysis = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        flops = analysis.get("flops", 0.0)
-        return float(flops) * chain / n_items if flops else None
-    except Exception:
-        return None
-
-
-def _mfu(rate_per_chip: float, flops_per_item: float | None) -> float | None:
-    """Model FLOPs utilization: measured imgs/s/chip x FLOPs/img vs the
-    chip's peak (SURVEY.md §6 north-star framing — raw imgs/s can't say
-    whether a workload sits near its roofline; MFU can)."""
-    if flops_per_item is None:
-        return None
-    return rate_per_chip * flops_per_item / PEAK_FLOPS
+_flops_per_item = flops_per_item
+_mfu = mfu
 
 
 def _build(config_name: str, batch: int, remat: bool = False, fuse_conv_gn: bool = False):
@@ -267,7 +240,8 @@ def bench_file_loop(steps: int):
     return batch * n / dt / jax.device_count(), flops
 
 
-def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
+def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool,
+                 fuse_level: bool = False):
     from ddpm_tpu.diffusion import (
         GaussianDiffusion,
         ddim_from_betas,
@@ -295,7 +269,7 @@ def bench_sample(steps_chain: int, batch: int, reps: int, use_ddim: bool):
         diffusion = GaussianDiffusion.create(
             betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"]
         )
-    model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16)
+    model = build_unet(cfg["model"], 3, dtype=jnp.bfloat16, fuse_level=fuse_level)
     x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
     t = jnp.zeros((batch,), jnp.int32)
     params = jax.jit(model.init)(jax.random.key(0), x, t)["params"]
@@ -439,6 +413,8 @@ WORKLOADS = [
     "hq_train",
     "ddpm_sample",
     "ddim_sample",
+    "ddpm_sample_fused",
+    "ddim_sample_fused",
     "generate_loop",
 ]
 
@@ -475,6 +451,12 @@ def main():
             (v, fl), u = bench_sample(1000, 128, 1, use_ddim=False), "samples/s/chip"
         elif w == "ddim_sample":
             (v, fl), u = bench_sample(50, 128, 4, use_ddim=True), "samples/s/chip"
+        elif w == "ddpm_sample_fused":
+            (v, fl), u = bench_sample(1000, 128, 1, use_ddim=False,
+                                      fuse_level=True), "samples/s/chip"
+        elif w == "ddim_sample_fused":
+            (v, fl), u = bench_sample(50, 128, 4, use_ddim=True,
+                                      fuse_level=True), "samples/s/chip"
         elif w == "generate_loop":
             (v, fl), u = bench_generate_loop(6), "imgs/s/chip"
         else:

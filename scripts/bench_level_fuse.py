@@ -59,29 +59,41 @@ def bench(fn, args_, iters, sync):
 
 
 def sampler_ab(args):
-    """End-to-end: the CelebA-architecture DDIM-50 sampler (attention at
-    16x16x256 — the kernel's native shape; 3 fusible units per model call:
-    down_2_0, down_2_1, mid) with fuse_level off vs on, same params."""
-    from ddpm_tpu.diffusion import ddim_from_betas, get_selection_schedule
+    """End-to-end sampler A/B with fuse_level off vs on, same params.
+
+    --sampler-config celeba: the CelebA arch (attention at 16x16x256 — the
+    kernel's native shape; 3 fusible units per model call: down_2_0,
+    down_2_1, mid). --sampler-config cifar10: the CIFAR-10 arch (attention
+    at level 1, also 16x16x256; its extra fusible unit set per supports()).
+    --ddpm benches the 1000-step ancestral chain instead of DDIM-50."""
+    from ddpm_tpu.diffusion import GaussianDiffusion, ddim_from_betas, get_selection_schedule
     from ddpm_tpu.math import get_beta_schedule
     from ddpm_tpu.models import build_unet
     from ddpm_tpu.parallel import make_mesh
     from ddpm_tpu.train import TrainState, make_optimizer, make_sample_fn
     from ddpm_tpu.utils.config import load_config
 
-    cfg = load_config("celeba")
+    cfg = load_config(args.sampler_config)
+    res = {"cifar10": 32, "celeba": 64}[args.sampler_config]
     mesh = make_mesh()
     dcfg = cfg["diffusion"]
     betas = get_beta_schedule(
         dcfg["beta_schedule"], dcfg["beta_start"], dcfg["beta_end"], dcfg["timesteps"]
     )
-    subsequence = get_selection_schedule("linear", 50, dcfg["timesteps"])
-    diffusion = ddim_from_betas(
-        betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"],
-        eta=0.0, subsequence=subsequence,
-    )
+    if args.ddpm:
+        chain = f"DDPM-{dcfg['timesteps']}"
+        diffusion = GaussianDiffusion.create(
+            betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"]
+        )
+    else:
+        chain = "DDIM-50"
+        subsequence = get_selection_schedule("linear", 50, dcfg["timesteps"])
+        diffusion = ddim_from_betas(
+            betas, dcfg["model_mean_type"], dcfg["model_var_type"], dcfg["loss_type"],
+            eta=0.0, subsequence=subsequence,
+        )
     batch = args.batch
-    x = jnp.zeros((batch, 64, 64, 3), jnp.float32)
+    x = jnp.zeros((batch, res, res, 3), jnp.float32)
     t = jnp.zeros((batch,), jnp.int32)
     rates = {}
     params = None
@@ -91,7 +103,7 @@ def sampler_ab(args):
             params = jax.jit(model.init)(jax.random.key(0), x, t)["params"]
         state = TrainState.create(params, make_optimizer(lr=2e-4), use_ema=False)
         sample = make_sample_fn(
-            model.apply, diffusion, (batch, 64, 64, 3), use_ema=False, mesh=mesh
+            model.apply, diffusion, (batch, res, res, 3), use_ema=False, mesh=mesh
         )
         key = jax.random.key(0)
         out = sample(state, key)
@@ -102,8 +114,10 @@ def sampler_ab(args):
         float(jnp.asarray(out).astype(jnp.float32).mean())
         dt = time.perf_counter() - t0
         rates[name] = batch * args.iters / dt
-        print(f"{name:6s}: DDIM-50 celeba-64 sampler {rates[name]:8.2f} imgs/s")
-    print(f"sampler speedup: {rates['fused'] / rates['xla']:.3f}x")
+        print(f"{name:6s}: {chain} {args.sampler_config}-{res} sampler "
+              f"{rates[name]:8.2f} imgs/s")
+    print(f"sampler speedup ({args.sampler_config} {chain}): "
+          f"{rates['fused'] / rates['xla']:.3f}x")
 
 
 def main():
@@ -115,6 +129,11 @@ def main():
     ap.add_argument("--iters", default=5, type=int)
     ap.add_argument("--block-b", default=4, type=int)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--sampler-config", choices=["celeba", "cifar10"],
+                    default="celeba")
+    ap.add_argument("--ddpm", action="store_true",
+                    help="with --sampler: bench the 1000-step ancestral "
+                    "chain instead of DDIM-50")
     ap.add_argument("--sampler", action="store_true",
                     help="end-to-end DDIM-50 celeba-64 sampler A/B instead "
                     "of the unit-chain measurement")
