@@ -14,7 +14,9 @@ from ddpm_tpu.utils.config import bundled_configs
 def test_bundled_config_names():
     # the three reference configs plus blobs64/blobs256 (the offline
     # disk-pipeline convergence workloads; no reference counterpart)
-    assert bundled_configs() == ["blobs256", "blobs64", "celeba", "celebahq", "cifar10"]
+    assert bundled_configs() == [
+        "blobs256", "blobs64", "blobs_learned", "celeba", "celebahq", "cifar10",
+    ]
 
 
 def test_blobs64_config_matches_celeba_architecture():
@@ -44,6 +46,20 @@ def test_blobs256_config_matches_celebahq_architecture():
     assert cfg.diffusion == ref.diffusion
     assert cfg.train.batch_size == 64  # the HQ global batch
     assert cfg.train.lr == 2e-4
+    assert cfg.train.use_ema is True
+
+
+def test_blobs_learned_config():
+    """blobs_learned drives the learned-variance + kl (VLB) loss workload
+    to convergence on the CIFAR arch: the 2C head is implied by
+    model_var_type=learned (train.py doubles out_channels), so the model
+    section matches cifar10 exactly."""
+    cfg = load_config("blobs_learned")
+    ref = load_config("cifar10")
+    assert cfg.dataset == "blobs"
+    assert cfg.model == ref.model
+    assert cfg.diffusion.model_var_type == "learned"
+    assert cfg.diffusion.loss_type == "kl"
     assert cfg.train.use_ema is True
 
 

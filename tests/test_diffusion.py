@@ -250,3 +250,24 @@ def test_diffusion_with_betas_f64_jits(betas):
     t = jnp.zeros((SHAPE[0],), jnp.int32)
     out = f(d, x, t)
     assert out.shape == SHAPE
+
+
+def test_eps_head_apply_ddim_samples_learned_model(betas):
+    """A learned-variance (2C-head) model sampled through a fixed-variance
+    DDIM via eps_head_apply: the adapter feeds only the eps half, so the
+    forced fixed-small sampler (ddim.py:58-60) sees C channels."""
+    from ddpm_tpu.train.step import eps_head_apply
+
+    sub = get_selection_schedule("linear", 10, T)
+    ddim = ddim_from_betas(betas, "eps", "learned", "kl", eta=0.0, subsequence=sub)
+    assert ddim.model_var_type == "fixed-small"  # auto-converted
+
+    def apply_2c(variables, x, t, **kw):
+        # fake flax apply emitting [eps-hat | logvar] on the channel axis
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x) - 2.0], axis=-1)
+
+    fn = eps_head_apply(apply_2c, SHAPE[-1])
+    denoise = lambda x, t: fn({}, x, t)
+    out = ddim.p_sample(denoise, SHAPE, jax.random.PRNGKey(3))
+    assert out.shape == SHAPE
+    assert np.isfinite(np.asarray(out)).all()
