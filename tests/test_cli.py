@@ -123,6 +123,46 @@ def test_train_generate_learned_variance_roundtrip(tmp_path, capsys):
     )
     assert "wrote 8 PNGs" in capsys.readouterr().out
 
+    # DDIM from the same learned checkpoint: eta=0 force-converts the
+    # sampler to fixed-small, so generate.py routes the 2C head through
+    # eps_head_apply (train/step.py) and samples its eps half
+    run_main(
+        generate_cli,
+        [
+            "--config-path", str(cfg_path),
+            "--chkpt-path", os.path.join(chkpt_dir, "ddpm_fakedata", "1"),
+            "--total-size", "8",
+            "--batch-size", "8",
+            "--use-ema", "--use-ddim", "--subseq-size", "4",
+            "--save-dir", str(tmp_path / "g2"),
+        ],
+    )
+    assert "wrote 8 PNGs" in capsys.readouterr().out
+
+
+def test_train_learned_with_ddim_eval_sampler_dry_run(tmp_path, capsys):
+    """train.py --use-ddim on a learned-variance config: the in-loop
+    sampler (grids + eval) is a fixed-small DDIM, so the Trainer must wire
+    eps_head_apply; the dry run exercises the full construction path."""
+    cfg = json.loads(json.dumps(TINY_CONFIG))
+    cfg["diffusion"]["model_var_type"] = "learned"
+    cfg["diffusion"]["loss_type"] = "kl"
+    cfg_path = tmp_path / "learned.json"
+    cfg_path.write_text(json.dumps(cfg))
+    run_main(
+        train_cli,
+        [
+            "--config-path", str(cfg_path),
+            "--use-ddim", "--subseq-size", "4",
+            "--num-samples", "8",
+            "--dry-run",
+            "--chkpt-dir", str(tmp_path / "c"),
+            "--image-dir", str(tmp_path / "i"),
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "dry run: stopping after first optimizer update" in out
+
 
 def test_train_then_generate_roundtrip(tiny_config_path, tmp_path, capsys):
     chkpt_dir = str(tmp_path / "c")
