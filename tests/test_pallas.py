@@ -528,3 +528,18 @@ def test_unet_fuse_level_checkpoint_compatible():
         assert y_tr.shape == y0.shape
     finally:
         lf_mod.FORCE_INTERPRET = old
+
+
+def test_level_fuse_c512_hq_level_excluded_but_correct():
+    """The CelebA-HQ / blobs256 attention level (16x16x512) is OUTSIDE the
+    kernel's VMEM envelope: the resident weights alone are 22*C^2*2B
+    ~= 11.5 MB at C=512 (conv1+conv2 18C^2, qkv 3C^2, proj C^2), which
+    with the activation blocks exceeds the 12 MB budget at any block_b —
+    supporting it would need weight-streaming tiles. supports() must say
+    no, and the fused entry point must fall back to the reference path
+    with identical results."""
+    assert not level_fuse_mod.supports((64, 16, 16, 512), block_b=4, itemsize=2)
+    assert not level_fuse_mod.supports((64, 16, 16, 512), block_b=2, itemsize=2)
+    x, emb, p, y_flax = _level_case(C=512, seed=11)
+    y = res_attn_fused(x, emb, p, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_flax), atol=3e-5)
