@@ -135,11 +135,15 @@ def ddpm_sampling_rate(model, diffusion, state, mesh, n_chips) -> dict:
         x = sample(state, jax.random.fold_in(key, i))
     float(x[0, 0, 0, 0])
     rate = BATCH * reps / (time.perf_counter() - t0) / n_chips
-    util = mfu(rate, flops)
-    return {
-        "ddpm_samples_per_sec_per_chip": round(rate, 2),
-        "ddpm_sample_mfu": round(util, 4) if util is not None else None,
-    }
+    out = {"ddpm_samples_per_sec_per_chip": round(rate, 2)}
+    try:
+        util = mfu(rate, flops)
+        out["ddpm_sample_mfu"] = round(util, 4) if util is not None else None
+    except AssertionError as e:
+        # record the guard trip loudly instead of losing the train metric
+        out["ddpm_sample_mfu"] = None
+        out["ddpm_sample_mfu_error"] = str(e)
+    return out
 
 
 def sustained_trainer_rate(model, diffusion, state, mesh, n_chips) -> float:

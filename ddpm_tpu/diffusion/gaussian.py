@@ -197,6 +197,18 @@ class GaussianDiffusion:
             out, model_logvar = jnp.split(out, 2, axis=-1)
             model_var = jnp.exp(model_logvar)
         elif self.model_var_type in ("fixed-small", "fixed-large"):
+            if out.shape[-1] == 2 * x_t.shape[-1]:
+                # A learned-variance (2C-head) checkpoint driven through a
+                # fixed-variance process — e.g. DDIM with eta<1, which
+                # force-converts to fixed-small (diffusion/ddim.py:58-60):
+                # use the eps/mean-param half and drop the predicted
+                # logvar, the Improved-DDPM strided-sampling convention.
+                # Deciding here (shape-driven) covers every caller —
+                # samplers, progressive chains, bpd evaluation — with no
+                # per-call-site adapter. The reference cannot express this
+                # at all (its learned path is unconstructible; see
+                # scripts/check_diffusion_parity.py).
+                out = out[..., : x_t.shape[-1]]
             model_var = extract(self.fixed_model_var, t, x_t.ndim, x_t.dtype)
             model_logvar = extract(self.fixed_model_logvar, t, x_t.ndim, x_t.dtype)
         else:

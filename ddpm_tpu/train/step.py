@@ -23,24 +23,7 @@ import jax.numpy as jnp
 from ..diffusion.gaussian import GaussianDiffusion
 from .state import TrainState
 
-__all__ = ["make_train_step", "make_sample_fn", "draw_input", "eps_head_apply"]
-
-
-def eps_head_apply(apply_fn: Callable, channels: int) -> Callable:
-    """Adapter for sampling a learned-variance (2C-head) checkpoint with a
-    fixed-variance sampler: keep only the first C output channels (the
-    eps/mean-param half) and drop the predicted-logvar half — the
-    Improved-DDPM convention for strided sampling of a learned-var model.
-    Needed because DDIM with eta<1 force-converts to fixed-small
-    (diffusion/ddim.py:58-60), whose p_mean_var expects a C-channel output.
-    The reference cannot express this at all (its generate.py:61 pins
-    out_channels=in_channels, and its learned path is unconstructible —
-    see scripts/check_diffusion_parity.py)."""
-
-    def fn(variables, x, t, **kwargs):
-        return apply_fn(variables, x, t, **kwargs)[..., :channels]
-
-    return fn
+__all__ = ["make_train_step", "make_sample_fn", "draw_input"]
 
 
 def draw_input(key: jax.Array, x_shape, timesteps: int):

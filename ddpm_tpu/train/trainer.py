@@ -64,7 +64,6 @@ class Trainer:
         seed: int = 8191,
         dry_run: bool = False,
         use_ema_for_sampling: bool = True,
-        sample_apply_fn: Optional[Callable] = None,
         logger: Callable[[str], None] = print,
     ):
         self.model = model
@@ -120,14 +119,11 @@ class Trainer:
                 model.apply, diffusion, has_dropout=has_dropout, mesh=self.mesh
             )
         self.use_ema_for_sampling = use_ema_for_sampling
-        # sampling may use an adapted apply (e.g. eps_head_apply when a
-        # learned-variance model is sampled through a fixed-variance DDIM)
-        self.sample_apply_fn = sample_apply_fn or model.apply
         self._eval_samplers = {}
         self.sample_fn = None
         if sample_shape is not None:
             self.sample_fn = make_sample_fn(
-                self.sample_apply_fn,
+                model.apply,
                 self.sampler_diffusion,
                 (sample_size, *sample_shape),
                 use_ema=use_ema_for_sampling,
@@ -308,7 +304,7 @@ class Trainer:
             sampler = self._eval_samplers.get(n)
             if sampler is None:
                 sampler = make_sample_fn(
-                    self.sample_apply_fn,
+                    self.model.apply,
                     self.sampler_diffusion,
                     (n, *self.sample_shape),
                     use_ema=self.use_ema_for_sampling,

@@ -164,15 +164,11 @@ def main():
         print(f"loaded checkpoint @ epoch {epoch} (step {int(state.step)})")
 
     mesh = make_mesh()
-    # learned-var checkpoint sampled through a fixed-variance process (DDIM
-    # eta<1 forces fixed-small): feed only the eps half of the 2C head
-    apply_fn = model.apply
-    if var_type == "learned" and diffusion.model_var_type != "learned":
-        from ddpm_tpu.train.step import eps_head_apply
-
-        apply_fn = eps_head_apply(model.apply, channels)
+    # NB a learned-variance (2C-head) checkpoint sampled through a
+    # fixed-variance process (--use-ddim forces fixed-small) just works:
+    # p_mean_var slices the eps half shape-wise (diffusion/gaussian.py)
     sample_fn = make_sample_fn(
-        apply_fn, diffusion, (args.batch_size, res, res, channels),
+        model.apply, diffusion, (args.batch_size, res, res, channels),
         use_ema=args.use_ema, mesh=mesh,
     )
 

@@ -83,8 +83,10 @@ def main():
     args = ap.parse_args()
 
     h, w, fmt, train_n, test_n = VARIANTS[args.variant]
-    train_n = args.train_size or train_n
-    test_n = args.test_size or test_n
+    if args.train_size is not None:
+        train_n = args.train_size
+    if args.test_size is not None:
+        test_n = args.test_size
     res = h if h == w else (h, w)
 
     base = os.path.join(os.path.expanduser(args.root), args.variant)

@@ -17,6 +17,14 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 import bench_all  # noqa: E402
+import ddpm_tpu.utils.profiling as profiling  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _pin_peak_flops(monkeypatch):
+    # the guard tests assume the v5e default; a DDPM_TPU_PEAK_FLOPS export
+    # (the documented other-hardware knob) must not flip their outcomes
+    monkeypatch.setattr(profiling, "PEAK_FLOPS", 197e12)
 
 
 def test_mfu_guard_rejects_unchained_sampler_flops():

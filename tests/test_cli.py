@@ -124,8 +124,8 @@ def test_train_generate_learned_variance_roundtrip(tmp_path, capsys):
     assert "wrote 8 PNGs" in capsys.readouterr().out
 
     # DDIM from the same learned checkpoint: eta=0 force-converts the
-    # sampler to fixed-small, so generate.py routes the 2C head through
-    # eps_head_apply (train/step.py) and samples its eps half
+    # sampler to fixed-small; p_mean_var slices the 2C head's eps half
+    # shape-wise (diffusion/gaussian.py)
     run_main(
         generate_cli,
         [
@@ -142,8 +142,8 @@ def test_train_generate_learned_variance_roundtrip(tmp_path, capsys):
 
 def test_train_learned_with_ddim_eval_sampler_dry_run(tmp_path, capsys):
     """train.py --use-ddim on a learned-variance config: the in-loop
-    sampler (grids + eval) is a fixed-small DDIM, so the Trainer must wire
-    eps_head_apply; the dry run exercises the full construction path."""
+    sampler (grids + eval) is a fixed-small DDIM fed by the 2C head via
+    p_mean_var's eps-half slice; the dry run exercises construction."""
     cfg = json.loads(json.dumps(TINY_CONFIG))
     cfg["diffusion"]["model_var_type"] = "learned"
     cfg["diffusion"]["loss_type"] = "kl"

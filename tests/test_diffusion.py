@@ -252,22 +252,31 @@ def test_diffusion_with_betas_f64_jits(betas):
     assert out.shape == SHAPE
 
 
-def test_eps_head_apply_ddim_samples_learned_model(betas):
+def test_learned_head_through_fixed_variance_sampler(betas):
     """A learned-variance (2C-head) model sampled through a fixed-variance
-    DDIM via eps_head_apply: the adapter feeds only the eps half, so the
-    forced fixed-small sampler (ddim.py:58-60) sees C channels."""
-    from ddpm_tpu.train.step import eps_head_apply
-
+    process: p_mean_var slices the eps half shape-wise (the Improved-DDPM
+    strided-sampling convention), so DDIM eta<1 (force-converted to
+    fixed-small, ddim.py:58-60) and any other fixed-var caller —
+    progressive chains, bpd — just work with the 2C denoise_fn."""
     sub = get_selection_schedule("linear", 10, T)
     ddim = ddim_from_betas(betas, "eps", "learned", "kl", eta=0.0, subsequence=sub)
     assert ddim.model_var_type == "fixed-small"  # auto-converted
 
-    def apply_2c(variables, x, t, **kw):
-        # fake flax apply emitting [eps-hat | logvar] on the channel axis
+    def denoise(x, t):
+        # [eps-hat | logvar] on the channel axis
         return jnp.concatenate([0.1 * x, jnp.zeros_like(x) - 2.0], axis=-1)
 
-    fn = eps_head_apply(apply_2c, SHAPE[-1])
-    denoise = lambda x, t: fn({}, x, t)
     out = ddim.p_sample(denoise, SHAPE, jax.random.PRNGKey(3))
     assert out.shape == SHAPE
     assert np.isfinite(np.asarray(out)).all()
+
+    # the slice must equal sampling the C-channel eps model directly
+    eps_only = lambda x, t: 0.1 * x
+    out2 = ddim.p_sample(eps_only, SHAPE, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # progressive chain through the same head
+    x0, preds = ddim.p_sample_progressive(
+        denoise, SHAPE, jax.random.PRNGKey(4), pred_freq=5
+    )
+    assert x0.shape == SHAPE and np.isfinite(np.asarray(preds)).all()

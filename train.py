@@ -238,7 +238,6 @@ def train(args):
         logger(dict2str(hps))
 
     sampler_diffusion = diffusion
-    sample_apply_fn = None
     if args.use_ddim:
         from ddpm_tpu import ddim_from_betas, get_selection_schedule
 
@@ -251,12 +250,8 @@ def train(args):
             eta=0.0,
             subsequence=subsequence,
         )
-        if diffusion.model_var_type == "learned":
-            # DDIM eta<1 force-converts to fixed-small; sample the 2C-head
-            # model through its eps half (train/step.py eps_head_apply)
-            from ddpm_tpu.train.step import eps_head_apply
-
-            sample_apply_fn = eps_head_apply(model.apply, channels)
+        # (a learned-variance model is sampled through this fixed-small
+        # DDIM via p_mean_var's shape-driven eps-half slice)
 
     trainer = Trainer(
         model=model,
@@ -272,7 +267,6 @@ def train(args):
         chkpt_intv=args.chkpt_intv,
         seed=args.seed,
         dry_run=args.dry_run,
-        sample_apply_fn=sample_apply_fn,
         logger=logger,
     )
     evaluator = None
