@@ -96,8 +96,31 @@ class FileDataset:
         return state
 
     def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        if getattr(self, "images", None) is not None:  # materialized
+            return self.images[indices]
         paths = [self.files[i] for i in indices]
         return np.stack(list(self._executor().map(self._decode, paths)))
+
+    def materialize(self) -> np.ndarray:
+        """Decode the whole folder once into an in-memory uint8 array.
+
+        Bridges disk datasets into device-cache input mode
+        (`train.py --device-cache`): after this, the dataset satisfies the
+        loader's `.images` contract and the Trainer stages the array to HBM
+        once, so per-step host->device traffic is ~1 KB of indices. Worth it
+        whenever the decoded uint8 dataset fits HBM next to the model (e.g.
+        blobs256/celebahq-shape: 10k x 256^2 x 3 = 2.0 GB) — it removes
+        both the per-batch decode cost and the axon per-transfer host-buffer
+        leak (docs/performance.md round 4) that otherwise grows with every
+        pixel batch shipped. One decode pass over the thread pool; identical
+        pixels to the lazy path by construction (same `_decode`).
+        """
+        if getattr(self, "images", None) is None:
+            self.images = np.stack(
+                list(self._executor().map(self._decode, self.files))
+            )
+            assert self.images.dtype == np.uint8
+        return self.images
 
 
 def _read_idx(path: str) -> np.ndarray:

@@ -97,8 +97,8 @@ class ShardedLoader:
             raise ValueError(
                 "yield_indices (device-cache) needs an in-memory uint8 "
                 f"dataset with an .images array; {type(dataset).__name__} "
-                "has none (disk datasets decode per batch — use the host "
-                "pipeline)"
+                "has none (disk FileDatasets can opt in by materializing "
+                "first — get_dataloader does this automatically)"
             )
         self.epoch = 0
 
@@ -200,6 +200,19 @@ def get_dataloader(
     cls = DATASET_DICT[dataset]
     ds_split = "all" if split == "all" else ("train" if split in ("train", "val") else "test")
     ds = cls(root=root or ROOT, split=ds_split, **kwargs)
+    if yield_indices and not hasattr(ds, "images") and hasattr(ds, "materialize"):
+        # disk dataset + device-cache: decode the folder once up front so
+        # the whole uint8 dataset can live in HBM (FileDataset.materialize)
+        import time as _time
+
+        t0 = _time.time()
+        imgs = ds.materialize()
+        print(
+            f"materialized {dataset} ({len(imgs)} images, "
+            f"{imgs.nbytes / 1e9:.2f} GB uint8) for device-cache in "
+            f"{_time.time() - t0:.1f}s",
+            flush=True,
+        )
     indices = None
     if split in ("train", "val") and val_size > 0:
         train_inds, val_inds = train_val_split(len(ds), val_size, random_seed)

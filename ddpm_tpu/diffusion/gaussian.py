@@ -39,6 +39,9 @@ from ..math.likelihood import (
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
+# hybrid-loss VLB weight (Improved-DDPM's lambda; Nichol & Dhariwal 2021 §3.2)
+HYBRID_LAMBDA = 0.001
+
 __all__ = ["GaussianDiffusion", "extract"]
 
 
@@ -109,8 +112,10 @@ class GaussianDiffusion:
             raise NotImplementedError(model_mean_type)
         if model_var_type not in ("learned", "fixed-small", "fixed-large"):
             raise NotImplementedError(model_var_type)
-        if loss_type not in ("kl", "mse"):
+        if loss_type not in ("kl", "mse", "hybrid"):
             raise NotImplementedError(loss_type)
+        if loss_type == "hybrid" and model_var_type != "learned":
+            raise ValueError("hybrid loss trains a learned-variance (2C) head")
         coefs = _sched.compute_coefficients(betas, model_var_type)
         # Tables stay HOST numpy arrays: inside jit they become literal HLO
         # constants at trace time (they're ~KBs), which XLA constant-folds.
@@ -378,6 +383,37 @@ class GaussianDiffusion:
             return self._loss_term_bpd(
                 denoise_fn, x_0=x_0, x_t=x_t, t=t, clip_denoised=False
             )
+        elif self.loss_type == "hybrid":
+            # Improved-DDPM hybrid objective (Nichol & Dhariwal 2021 §3.2):
+            # L_simple + lambda * L_vlb with the VLB's mean input FROZEN, so
+            # the mse term alone trains the mean-param half and the VLB term
+            # alone trains the learned-logvar half. Why this exists: a pure
+            # kl loss (the reference's only learned-variance objective,
+            # diffusion.py:224-227, reproduced verbatim above) starves the
+            # mean — the KL's gradient wrt the mean carries the squared
+            # posterior eps-coefficient over the model variance, measured
+            # 1e4x smaller than the logvar gradient at init (round 5: a
+            # kl-trained 2C model plateaus its VLB with eps-mse pinned at
+            # 1.0 and FID ~562, i.e. pure noise). Framework extension: the
+            # reference cannot train a sampling-quality 2C model at all.
+            model_out = denoise_fn(x_t, self._model_t(t))
+            mean_param, logvar = jnp.split(model_out, 2, axis=-1)
+            if self.model_mean_type == "mean":
+                target = self.q_posterior_mean_var(x_0=x_0, x_t=x_t, t=t)[0]
+            elif self.model_mean_type == "x_0":
+                target = x_0
+            elif self.model_mean_type == "eps":
+                target = noise
+            else:
+                raise NotImplementedError(self.model_mean_type)
+            simple = flat_mean(jnp.square(target - mean_param))
+            frozen = jnp.concatenate(
+                [jax.lax.stop_gradient(mean_param), logvar], axis=-1
+            )
+            vlb = self._loss_term_bpd(
+                lambda *_: frozen, x_0=x_0, x_t=x_t, t=t, clip_denoised=False
+            )
+            return simple + HYBRID_LAMBDA * vlb
         elif self.loss_type == "mse":
             assert self.model_var_type != "learned"
             if self.model_mean_type == "mean":

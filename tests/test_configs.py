@@ -13,9 +13,11 @@ from ddpm_tpu.utils.config import bundled_configs
 
 def test_bundled_config_names():
     # the three reference configs plus blobs64/blobs256 (the offline
-    # disk-pipeline convergence workloads; no reference counterpart)
+    # disk-pipeline convergence workloads) and blobs_learned/blobs_hybrid
+    # (the learned-variance kl-vs-hybrid A/B; no reference counterpart)
     assert bundled_configs() == [
-        "blobs256", "blobs64", "blobs_learned", "celeba", "celebahq", "cifar10",
+        "blobs256", "blobs64", "blobs_hybrid", "blobs_learned",
+        "celeba", "celebahq", "cifar10",
     ]
 
 

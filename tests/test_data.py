@@ -338,3 +338,37 @@ def test_blobs256_dataset_hq_format(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         Blobs256(root=str(tmp_path), split="test")
+
+
+def test_file_dataset_materialize_enables_device_cache(tmp_path):
+    """Disk datasets bridge into device-cache mode by materializing: one
+    decode pass fills `.images`, after which (a) get_batch serves from the
+    array with identical pixels, and (b) get_dataloader(yield_indices=True)
+    accepts the dataset and streams (idx, flips) descriptors."""
+    from PIL import Image
+
+    from ddpm_tpu.data.datasets import Blobs256, _make_blobs
+    from ddpm_tpu.data.loader import get_dataloader
+
+    imgs = _make_blobs(6, 32, seed=5)
+    base = tmp_path / "blobs256" / "train"
+    base.mkdir(parents=True)
+    for j in range(6):
+        Image.fromarray(imgs[j]).save(base / f"{j:06d}.png")
+
+    ds = Blobs256(root=str(tmp_path), split="train")
+    lazy = ds.get_batch(np.arange(6))
+    mat = ds.materialize()
+    assert mat.dtype == np.uint8 and mat.shape == (6, 32, 32, 3)
+    np.testing.assert_array_equal(mat, lazy)
+    np.testing.assert_array_equal(ds.get_batch(np.arange(6)), lazy)
+    assert ds.materialize() is mat  # idempotent, no re-decode
+
+    loader, _ = get_dataloader(
+        "blobs256", 2, split="train", random_seed=0, root=str(tmp_path),
+        yield_indices=True,
+    )
+    assert loader.dataset.images is not None
+    idx, flips = next(iter(loader))
+    assert idx.dtype == np.int32 and idx.shape == (2,)
+    assert flips is None or flips.dtype == np.uint8

@@ -49,7 +49,12 @@ def main():
     parser.add_argument(
         "--model-var-type", choices=["learned", "fixed-small", "fixed-large"], default="fixed-large"
     )
-    parser.add_argument("--loss-type", choices=["kl", "mse"], default="mse")
+    parser.add_argument(
+        "--loss-type", choices=["kl", "mse", "hybrid"], default="mse",
+        help="kl/mse are the reference objectives; hybrid (extension) is "
+        "mse + 0.001*stop-grad-mean VLB, the Improved-DDPM recipe that "
+        "actually trains a learned-variance head to sampling quality",
+    )
     parser.add_argument("--image-dir", default="./images/train", type=str)
     parser.add_argument("--image-intv", default=10, type=int)
     parser.add_argument("--num-samples", default=64, type=int)
@@ -77,8 +82,9 @@ def main():
         "gather/flip batches ON DEVICE; per-step host->device traffic "
         "drops from the pixel batch to ~1 KB of indices (fastest input "
         "path, and sidesteps the axon per-transfer host-buffer leak — "
-        "docs/performance.md round 4). In-memory datasets, single "
-        "process only",
+        "docs/performance.md round 4). In-memory datasets, plus disk "
+        "datasets whose decoded uint8 array fits HBM (decoded once up "
+        "front via FileDataset.materialize)",
     )
     parser.add_argument(
         "--distributed", action="store_true",
