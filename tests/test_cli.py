@@ -328,3 +328,30 @@ def test_eval_cli_end_to_end_with_injected_extractor(tmp_path, monkeypatch, caps
     assert "precision:" in capsys.readouterr().out
     assert (tmp_path / "precomputed" / "pr_manifold_fakedata_inception_k5_n64.npz").exists()
     assert manifold_k3.stat().st_mtime_ns == k3_mtime  # k=3 entry untouched
+
+
+def test_train_hybrid_loss_one_epoch(tmp_path, capsys):
+    """train.py --loss-type hybrid (extension): the 2C head under the
+    hybrid objective trains one epoch with finite losses and checkpoints;
+    the mse+stop-grad-VLB composition is pinned at the unit level by
+    test_hybrid_loss_gradient_split — here the full CLI wiring (config
+    merge, out_channels doubling, fused step jit) is the subject."""
+    cfg = json.loads(json.dumps(TINY_CONFIG))
+    cfg["diffusion"]["model_var_type"] = "learned"
+    cfg["diffusion"]["loss_type"] = "hybrid"
+    cfg_path = tmp_path / "hybrid.json"
+    cfg_path.write_text(json.dumps(cfg))
+    run_main(
+        train_cli,
+        [
+            "--config-path", str(cfg_path),
+            "--num-samples", "8",
+            "--chkpt-intv", "1",
+            "--image-intv", "100",
+            "--chkpt-dir", str(tmp_path / "c"),
+            "--image-dir", str(tmp_path / "i"),
+        ],
+    )
+    out = capsys.readouterr().out
+    assert "loss_type:hybrid" in out
+    assert "epoch 1/1" in out and "nan" not in out
