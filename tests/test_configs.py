@@ -40,14 +40,18 @@ def test_blobs256_config_matches_celebahq_architecture():
     """blobs256 drives the reference's largest flagship SHAPE
     (configs/celebahq.json: 256^2, 6 levels (1,1,2,2,4,4), attn level 4,
     batch 64) through the HQ disk pipeline on a learnable distribution,
-    with the blobs training budget (lr 2e-4, epochs sized to this host)."""
+    at the reference's HQ learning rate. The lr matters: the round-5 run
+    carrying the 64-res workloads' 2e-4 diverged at epoch 28 (~1.75e-4 on
+    the warmup ramp) — output collapse to eps=0, loss pinned at 1.0 — the
+    known 256^2 instability the reference's 2e-5 exists to avoid
+    (docs/performance.md round 5)."""
     cfg = load_config("blobs256")
     ref = load_config("celebahq")
     assert cfg.dataset == "blobs256"
     assert cfg.model == ref.model
     assert cfg.diffusion == ref.diffusion
     assert cfg.train.batch_size == 64  # the HQ global batch
-    assert cfg.train.lr == 2e-4
+    assert cfg.train.lr == 2e-5  # the reference's HQ lr (celebahq.json)
     assert cfg.train.use_ema is True
 
 
