@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 import os
 import uuid
-from argparse import ArgumentParser
+from argparse import ArgumentParser, BooleanOptionalAction
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -52,11 +52,15 @@ def main():
     )
     parser.add_argument("--pred-freq", default=50, type=int)
     parser.add_argument(
-        "--fuse-level", action="store_true",
+        "--fuse-level", action=BooleanOptionalAction, default=True,
         help="run every same-channel ResBlock->AttentionBlock pair as one "
         "Pallas program (ops/pallas/level_fuse.py): eval-mode sampling "
-        "fusion; checkpoints are interchangeable with the default path "
-        "(A/B numbers in docs/performance.md)",
+        "fusion, ON by default since round 5 — the kernel self-gates to "
+        "its validated envelope (16x16 levels, C%%128==0, VMEM fit) and "
+        "falls back elsewhere, measured 1.02-1.18x and never worse on "
+        "qualifying chains; checkpoints are interchangeable with the "
+        "default path (A/B numbers in docs/performance.md). "
+        "--no-fuse-level restores the pure-XLA path",
     )
     parser.add_argument(
         "--distributed", action="store_true",
